@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local sandbox runs on ``local[N]`` (single JVM); the same configuration
+is what we would submit cluster-side via ``spark-submit --py-files`` —
+only ``master`` and the memory sizing change. AQE is on so runtime
+skew-join splitting and partition coalescing happen without manual
+tuning; shuffle partitions default to the core count (not Spark's 200)
+because every operator in this engine keys its shuffles explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "hermes_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf.
+
+    ``spark.sql.session.timeZone=UTC`` is load-bearing: event-time
+    semantics (watermarks, windows) and oracle comparison against
+    UTC-naive parquet timestamps both require it.
+    """
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Streaming state store: RocksDB would be the cluster choice for
+        # bounded-memory per-conv state; the provider class ships with Spark.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""End-to-end streaming CDC pipeline wiring.
+
+The producer-side lifecycle of the reference
+(/root/reference/server/hermesserver.py:468-509: poll → diff → publish
+→ commit cache) becomes ONE streaming query:
+
+    file/iceberg source (micro-batch = one poll)
+      → event-time watermark on ts
+      → stateful classify (insert/update/delete vs per-conv state)
+      → foreachBatch: idempotent MERGE into target + lineage metrics
+
+Restart-from-checkpoint resumes mid-stream exactly-once (tests kill the
+query between micro-batches and assert the target equals an
+uninterrupted run).  Windowed snapshot queries and the tool-call join
+run as sibling queries over the same source.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from hermes_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+from hermes_spark.streaming.cdc import classify_changes
+from hermes_spark.streaming.sink import ExactlyOnceSink
+from hermes_spark.tables import ParquetMergeTable
+
+
+@dataclass
+class CdcPipeline:
+    spark: SparkSession
+    source_dir: str          # parquet files appear here (one per micro-batch)
+    work_dir: str            # checkpoint + target + metrics
+    watermark: str = "10 minutes"
+    max_files_per_trigger: int | None = None
+
+    def __post_init__(self) -> None:
+        self.checkpoint = os.path.join(self.work_dir, "checkpoint")
+        self.target = ParquetMergeTable(
+            self.spark,
+            os.path.join(self.work_dir, "target"),
+            key=["conv_id", "turn_idx"],
+            schema=CHANGE_EVENT_SCHEMA,
+        )
+        self.sink = ExactlyOnceSink(self.target)
+
+    def source(self) -> DataFrame:
+        reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.source_dir)
+
+    def changes(self) -> DataFrame:
+        return classify_changes(self.source(), watermark=self.watermark)
+
+    def start(self) -> StreamingQuery:
+        return (
+            self.changes()
+            .writeStream.foreachBatch(self.sink)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("append")
+            .start()
+        )
+
+    def run_available(self) -> None:
+        """Process everything currently in source_dir, then stop —
+        the batch-driver mode used by tests and bench."""
+        q = self.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # Spark 4 stop() is async-ish; awaitTermination for cleanliness
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
+
+    def target_live(self) -> DataFrame:
+        """Current target table state (all rows are live; deletes were
+        applied as physical removes by the MERGE)."""
+        return self.target.read()

@@ -1,0 +1,155 @@
+"""Format-symmetric table layer: atomic, idempotent MERGE over parquet.
+
+The engine's sink contract is Iceberg's: atomic snapshot commits and an
+idempotent ``MERGE INTO`` keyed on the row pkey (the Spark restatement
+of the reference's sync-ack producer + write-if-changed cache,
+/root/reference/server/hermesserver.py:697-724 and
+lib/datamodel/serialization.py:373-510).  The sandbox image has no
+Iceberg runtime jar, so `ParquetMergeTable` implements the same
+protocol over plain parquet:
+
+* data lives in immutable versioned snapshot dirs ``versions/v%08d``;
+* a commit is one atomic ``os.replace`` of the ``_commits.json``
+  pointer file recording ``(version, batch_id)`` — readers only ever
+  see fully-written snapshots (same tmpfile+rename discipline as the
+  reference's cache writer, serialization.py:389-398);
+* MERGE is **idempotent per batch_id**: replaying an already-committed
+  micro-batch is a no-op, which is exactly what makes ``foreachBatch``
+  exactly-once under restart-from-checkpoint.
+
+On a real cluster the class is swapped for Iceberg `MERGE INTO`
+(`IcebergTable`, gated on the catalog being configured) with identical
+call signatures — engine code never branches on the format.
+
+Scale note: this local emulation rewrites the table per commit (fine at
+test scale); Iceberg's merge-on-read makes the same operation
+O(changed files).  The *logical* plan — changes anti-join target on
+pkey, union — is what the engine owns and is format-independent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ParquetMergeTable:
+    """A keyed target table with atomic versioned commits and
+    batch-id-idempotent MERGE."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: Sequence[str],
+        schema: T.StructType,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key = list(key)
+        self.schema = schema
+        os.makedirs(os.path.join(path, "versions"), exist_ok=True)
+
+    # -- commit log ---------------------------------------------------
+
+    @property
+    def _commits_path(self) -> str:
+        return os.path.join(self.path, "_commits.json")
+
+    def _read_commits(self) -> list[dict]:
+        try:
+            with open(self._commits_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def _append_commit(self, version: int, batch_id: int | str | None) -> None:
+        commits = self._read_commits()
+        commits.append({"version": version, "batch_id": batch_id})
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(commits, f)
+        os.replace(tmp, self._commits_path)  # atomic pointer swap
+
+    def committed_batch_ids(self) -> set:
+        return {c["batch_id"] for c in self._read_commits() if c["batch_id"] is not None}
+
+    def current_version(self) -> int | None:
+        commits = self._read_commits()
+        return commits[-1]["version"] if commits else None
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, "versions", f"v{v:08d}")
+
+    # -- read ----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
+
+    # -- write / merge ---------------------------------------------------
+
+    def overwrite(self, df: DataFrame, batch_id: int | str | None = None) -> None:
+        v = (self.current_version() or 0) + 1
+        out = self._version_dir(v)
+        df.select([f.name for f in self.schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(out)
+        self._append_commit(v, batch_id)
+
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int | str | None = None,
+        op_col: str = "op",
+    ) -> bool:
+        """MERGE INTO this table USING changes ON pkey.
+
+        ``changes``: key cols + op (insert|update|delete) + payload
+        cols matching the table schema.  Rows with op delete remove the
+        key; insert/update upsert the payload.  Returns False when the
+        batch_id was already committed (idempotent replay no-op).
+        """
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return False
+        target = self.read()
+        ch = changes
+        keys = ch.select(*self.key).distinct()
+        untouched = target.join(keys, self.key, "left_anti")
+        upserts = ch.where(F.col(op_col) != "delete").select(
+            *[F.col(f.name) for f in self.schema.fields]
+        )
+        merged = untouched.unionByName(upserts)
+        self.overwrite(merged, batch_id)
+        return True
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def make_target(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    key: Sequence[str],
+    schema: T.StructType,
+) -> ParquetMergeTable:
+    return ParquetMergeTable(
+        spark, os.path.join(base_dir, name), key, schema
+    )
+
+
+def scratch_dir(prefix: str = "hermes_spark") -> str:
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    return d
