@@ -1,38 +1,718 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md
+§2 (plus the training-pipeline extras) against the driver's parquet
+testdata; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Column names and value types are aligned pair-by-pair (aggregates go
+through DECIMAL so float sums are engine-order-independent; timestamps
+are compared as epoch micros).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEP = "\x1f"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC / engine operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 snapshot diff: two deterministic snapshots derived from
+    orders → insert/update/delete classification."""
+    from hermes_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    new = orders.where(F.col("o_orderkey") % 10 != 4)
+    d = snapshot_diff(
+        new, old, key=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return d.select("o_orderkey", "op")
+
+
+def q_merkle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 deep-hash analog: per-user merkle digest over sorted
+    (event_id, sha256(event_type)) leaves."""
+    ev = _t(spark, sf_dir, "events")
+    leaf = F.concat_ws(
+        ":", F.format_string("%010d", F.col("event_id")), F.sha2(F.col("event_type"), 256)
+    )
+    return (
+        ev.select(F.col("user_id"), leaf.alias("leaf"))
+        .groupBy("user_id")
+        .agg(
+            F.sha2(F.concat_ws(SEP, F.sort_array(F.collect_list("leaf"))), 256).alias(
+                "merkle"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_dedup_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 duplicate-pkey quarantine on a deliberately colliding key."""
+    from hermes_spark.operators.quarantine import dedup_quarantine
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "dup_key", F.col("o_orderkey") % 14000
+    )
+    return dedup_quarantine(orders, ["dup_key"]).quarantined
+
+
+def q_merge_must_exist_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 multi-source merge, mustExistInBoth + keep_first_value."""
+    from hermes_spark.operators.merge import MUST_EXIST_IN_BOTH, merge_sources
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    fromorders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("o_cnt"),
+            F.max("o_totalprice").alias("c_acctbal"),  # conflicting shared attr
+        )
+    )
+    r = merge_sources(cust, fromorders, key=["c_custkey"], constraint=MUST_EXIST_IN_BOTH)
+    return r.merged.select("c_custkey", "c_name", "c_acctbal", "o_cnt")
+
+
+def q_merge_must_not_exist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 mustNotExist: colliding source-B rows dropped wholesale."""
+    from hermes_spark.operators.merge import MUST_NOT_EXIST, merge_sources
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.concat(F.lit("A:"), F.col("c_name")).alias("src_name")
+    )
+    b = cust.select(
+        "c_custkey", F.concat(F.lit("B:"), F.col("c_name")).alias("src_name")
+    )
+    r = merge_sources(a, b, key=["c_custkey"], constraint=MUST_NOT_EXIST)
+    return r.merged.select("c_custkey", "src_name")
+
+
+def q_integrity_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 integrity constraints as a topological semi-join cascade:
+    withhold 10% of customers → prune their orders → prune lineitems."""
+    from hermes_spark.operators.integrity import cascade_fk_filter
+
+    tables = {
+        "customer": _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0),
+        "orders": _t(spark, sf_dir, "orders"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+    }
+    filtered = cascade_fk_filter(
+        tables,
+        [
+            ("orders", "customer", [("o_custkey", "c_custkey")]),
+            ("lineitem", "orders", [("l_orderkey", "o_orderkey")]),
+        ],
+    )
+    return (
+        filtered["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_qty_x100"),
+        )
+    )
+
+
+def q_oldest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 error-queue head-of-line: oldest event per key by offset."""
+    from hermes_spark.operators.ordering import oldest_event_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return oldest_event_per_key(ev, ["user_id"], order_col="event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+def q_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoremediation truth table: compact each key's event run to at
+    most one effective event (first/last-op classification)."""
+    from hermes_spark.operators.compaction import compact_events
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id"),
+        F.when(F.col("event_type") == "click", "insert")
+        .when(F.col("event_type") == "purchase", "delete")
+        .otherwise("update")
+        .alias("op"),
+    )
+    out = compact_events(ev, ["user_id"], op_col="op", offset_col="event_id")
+    return out.select("user_id", F.col("event_id").alias("last_offset"), "op")
+
+
+def q_trashbin_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 trashbin purge: soft-deleted rows expire past retention."""
+    from hermes_spark.operators.trashbin import purge_expired
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "deleted_ts",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderdate")),
+    )
+    kept = purge_expired(orders, F.lit("1995-06-01").cast("timestamp"))
+    return kept.select("o_orderkey", F.col("deleted_ts").isNotNull().alias("trashed"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (batch gap-based form) over the events stream."""
+    from hermes_spark.operators.windows import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/tumbling window aggregate (F.window, 1 hour)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+            .cast("long")
+            .alias("v_x1e6"),
+        )
+        .select(F.unix_micros(F.col("w.start")).alias("hour_us"), "event_type", "n", "v_x1e6")
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 correlation analog on events: first purchase within 1h after
+    each click, per user (the tool-call↔response pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    j = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    return (
+        j.groupBy("user_id", "click_id", "c_ts")
+        .agg(F.min_by(F.struct("b_ts", "purchase_id"), F.struct("b_ts", "purchase_id")).alias("f"))
+        .select(
+            "user_id",
+            "click_id",
+            F.col("f.purchase_id").alias("purchase_id"),
+            (F.unix_micros("f.b_ts") - F.unix_micros("c_ts")).alias("latency_us"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment (rank window)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (decimal-exact aggregates)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(13,2)")
+    factor = (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty) * 100).cast("long").alias("sum_qty_x100"),
+            (F.sum(price) * 100).cast("long").alias("sum_base_price_x100"),
+            (F.sum(price * factor) * 100_000_000)
+            .cast("long")
+            .alias("sum_disc_price_x1e8"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims: revenue per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(13,2)")
+    factor = (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,6)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        (F.sum(price * factor) * 100_000_000).cast("long").alias("revenue_x1e8"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extras: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an exact copy at doc_id+10000 (dedup fixture)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_copies(spark, sf_dir)).select("doc_id", "n_copies")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs over documents + noisy
+    copies (text || ' extra tail'), threshold 0.8."""
+    from hermes_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    )
+    both = d.unionByName(noisy)
+    return ngram_jaccard_pairs(both, threshold=0.8).select("doc_a", "doc_b", "jaccard")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.text import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.text import quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "distinct_ratio",
+        "stopword_hits",
+        "avg_token_len",
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.text import token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.text import normalized_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_fingerprint("text").alias("fp")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 1-in-50 query vectors."""
+    from hermes_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+# -- rows-only entries (no SQL-expressible oracle; driver records a
+#    weaker check — probabilistic/hash-function-specific operators) ---------
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    )
+    return minhash_dedup_pairs(d.unionByName(noisy), verify_threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries, dim=64, k=5)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hermes_spark.functions.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=64)).select(
+        "media_id", "kind", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC snapshot diff on sf0.001 (driver smoke check)."""
+    return q_cdc_diff(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_diff": q_cdc_diff,
+        "merkle_events": q_merkle_events,
+        "dedup_quarantine": q_dedup_quarantine,
+        "merge_must_exist_in_both": q_merge_must_exist_in_both,
+        "merge_must_not_exist": q_merge_must_not_exist,
+        "integrity_cascade": q_integrity_cascade,
+        "oldest_event_per_key": q_oldest_event_per_key,
+        "compact_events": q_compact_events,
+        "trashbin_retention": q_trashbin_retention,
+        "sessionize": q_sessionize,
+        "tumbling_hourly": q_tumbling_hourly,
+        "range_join": q_range_join,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "star_join": q_star_join,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "'the','a','row','fast','slow'"
+    lang_cases = []
+    from hermes_spark.functions.text import LANG_MARKERS
+
+    for lang, words in sorted(LANG_MARKERS.items()):
+        inlist = ",".join(f"'{w}'" for w in words)
+        lang_cases.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"count(DISTINCT CASE WHEN t IN ({inlist}) THEN t END) AS score FROM tok GROUP BY doc_id"
+        )
+    lang_union = " UNION ALL ".join(lang_cases)
+
+    return {
+        "cdc_diff": """
+            WITH old AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 ELSE o_totalprice END AS p,
+                     o_orderstatus AS s
+              FROM orders WHERE o_orderkey % 10 <> 7
+            ), new AS (
+              SELECT o_orderkey, o_totalprice AS p, o_orderstatus AS s
+              FROM orders WHERE o_orderkey % 10 <> 4
+            ), j AS (
+              SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                          WHEN n.o_orderkey IS NULL THEN 'delete'
+                          WHEN n.p <> o.p OR n.s <> o.s THEN 'update' END AS op
+              FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+            )
+            SELECT o_orderkey, op FROM j WHERE op IS NOT NULL
+        """,
+        "merkle_events": """
+            WITH leaves AS (
+              SELECT user_id,
+                     lpad(CAST(event_id AS VARCHAR), 10, '0') || ':' || sha256(event_type) AS leaf
+              FROM events
+            )
+            SELECT user_id,
+                   sha256(string_agg(leaf, chr(31) ORDER BY leaf)) AS merkle,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM leaves GROUP BY user_id
+        """,
+        "dedup_quarantine": """
+            SELECT o_orderkey % 14000 AS dup_key, CAST(count(*) AS BIGINT) AS dup_count
+            FROM orders GROUP BY 1 HAVING count(*) > 1
+        """,
+        "merge_must_exist_in_both": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, b.o_cnt
+            FROM customer c
+            JOIN (SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS o_cnt
+                  FROM orders GROUP BY 1) b USING (c_custkey)
+        """,
+        "merge_must_not_exist": """
+            SELECT c_custkey, 'A:' || c_name AS src_name FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, 'B:' || c_name AS src_name FROM customer WHERE c_custkey % 3 <> 0
+        """,
+        "integrity_cascade": """
+            WITH cust AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+            vorders AS (SELECT o.* FROM orders o WHERE EXISTS
+                        (SELECT 1 FROM cust c WHERE c.c_custkey = o.o_custkey)),
+            vli AS (SELECT l.* FROM lineitem l WHERE EXISTS
+                    (SELECT 1 FROM vorders o WHERE o.o_orderkey = l.l_orderkey))
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_x100
+            FROM vli GROUP BY l_returnflag
+        """,
+        "oldest_event_per_key": """
+            SELECT user_id, event_id, event_type FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+        """,
+        "compact_events": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CASE event_type WHEN 'click' THEN 'insert'
+                                     WHEN 'purchase' THEN 'delete'
+                                     ELSE 'update' END AS op
+              FROM events
+            ), g AS (
+              SELECT user_id,
+                     arg_min(op, event_id) AS first_op,
+                     arg_max(op, event_id) AS last_op,
+                     CAST(max(event_id) AS BIGINT) AS last_offset
+              FROM ev GROUP BY user_id
+            )
+            SELECT user_id, last_offset,
+                   CASE WHEN first_op = 'insert' AND last_op = 'delete' THEN NULL
+                        WHEN first_op = 'insert' THEN 'insert'
+                        WHEN last_op = 'delete' THEN 'delete'
+                        ELSE 'update' END AS op
+            FROM g
+            WHERE NOT (first_op = 'insert' AND last_op = 'delete')
+        """,
+        "trashbin_retention": """
+            SELECT o_orderkey, (o_orderstatus = 'F') AS trashed
+            FROM orders
+            WHERE o_orderstatus <> 'F' OR o_orderdate >= TIMESTAMP '1995-06-01'
+        """,
+        "sessionize": """
+            WITH w AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM w
+            )
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "tumbling_hourly": """
+            SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_x1e6
+            FROM events GROUP BY 1, 2
+        """,
+        "range_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id AS click_id, ts AS c_ts FROM events WHERE event_type = 'click'
+            ), buys AS (
+              SELECT user_id AS b_user, event_id AS purchase_id, ts AS b_ts FROM events WHERE event_type = 'purchase'
+            )
+            SELECT user_id, click_id, purchase_id, latency_us FROM (
+              SELECT c.user_id, c.click_id, b.purchase_id,
+                     CAST(epoch_us(b.b_ts) - epoch_us(c.c_ts) AS BIGINT) AS latency_us,
+                     row_number() OVER (PARTITION BY c.user_id, c.click_id
+                                        ORDER BY b.b_ts, b.purchase_id) AS rn
+              FROM clicks c JOIN buys b ON c.user_id = b.b_user
+                   AND b.b_ts > c.c_ts AND b.b_ts <= c.c_ts + INTERVAL 1 HOUR
+            ) WHERE rn = 1
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
+              SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY c.c_mktsegment
+                                        ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rnk <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_x100,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(13,2))) * 100 AS BIGINT) AS sum_base_price_x100,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(13,2)) *
+                            CAST(1 - l_discount AS DECIMAL(8,6))) * 100000000 AS BIGINT) AS sum_disc_price_x1e8,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "star_join": """
+            SELECT r.r_name, n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(13,2)) *
+                            CAST(1 - l.l_discount AS DECIMAL(8,6))) * 100000000 AS BIGINT) AS revenue_x1e8,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        """,
+        "exact_dedup": """
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text FROM documents
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+            FROM alldocs
+            GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        """,
+        "ngram_jaccard": """
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text || ' extra tail' FROM documents
+            ), pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+              FROM alldocs
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s FROM pos
+            ), sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
+        """,
+        "lang_id": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+              FROM documents
+            ), scores AS ({lang_union})
+            SELECT doc_id, lang AS lang_pred FROM scores
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+        """,
+        "quality": f"""
+            WITH tok AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+                FROM documents)
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_tokens,
+                     CAST(count(DISTINCT CASE WHEN t IN ({stop_en}) THEN t END) AS BIGINT) AS stopword_hits
+              FROM tok GROUP BY doc_id
+            )
+            SELECT d.doc_id, a.n_tokens, a.n_distinct_tokens,
+                   CAST(a.n_distinct_tokens AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS distinct_ratio,
+                   a.stopword_hits,
+                   CAST(length(d.text) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS avg_token_len
+            FROM documents d JOIN agg a USING (doc_id)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0
+            ), scored AS (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                     list_dot_product(q.qe, v.e) /
+                     (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cos
+              FROM q JOIN v ON v.vec_id <> q.query_id
+            )
+            SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
+        """,
+    }

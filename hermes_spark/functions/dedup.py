@@ -1,0 +1,266 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: every variant avoids the O(n²) all-pairs comparison —
+exact dedup is a hash groupBy; n-gram Jaccard joins only docs sharing a
+shingle; MinHash+LSH joins only docs sharing a band bucket; SimHash
+joins only docs sharing a band of the 64-bit signature.  All signature
+math is JVM-side (`xxhash64`), so the hot path has no Python at all;
+at 100 TB the shuffles are keyed on shingle/band hashes, which are
+near-uniform (no skew salting needed — hot shingles can be frequency-
+capped via the `max_doc_freq` guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hermes_spark.functions.text import normalized_fingerprint
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the smallest id per identical (normalized) text; returns
+    survivors with their duplicate count."""
+    fp = df.select(F.col(id_col), normalized_fingerprint(text_col).alias("_fp"))
+    return (
+        fp.groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .drop("_fp")
+    )
+
+
+# -- character shingles -----------------------------------------------------
+
+def char_shingles(col: str | Column, n: int = 5) -> Column:
+    """All length-n character substrings (with duplicates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {n - 1}, 0)),"
+        f" i -> substring({col}, i, {n}))"
+    ) if isinstance(col, str) else F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(char_shingles(text_col, n))).alias("sh"),
+        )
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-grams for candidate pairs
+    that share ≥1 shingle.  Output: (doc_a, doc_b, jaccard), doc_a <
+    doc_b.  ``max_doc_freq`` drops shingles appearing in more than that
+    many docs (stopword-shingle blowup guard at scale)."""
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """num_hashes-wide MinHash signature per doc, entirely JVM-side:
+    hash_i(shingle) = xxhash64(i, shingle); signature_i = min over the
+    doc's distinct shingles.  One explode + one groupBy — the shuffle
+    carries (id, shingle) pairs once, with all num_hashes mins computed
+    as parallel aggregates (map-side partial min)."""
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and emit pairs
+    sharing any band bucket.  Join is keyed (band_id, band_hash) —
+    uniform, broadcast-free, scales linearly in candidates."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bh")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
+    l = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    r = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
+    return (
+        l.join(r, ["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """LSH candidates, optionally verified with exact Jaccard on the
+    candidate set only (the standard two-phase near-dup pipeline)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    if verify_threshold is None:
+        return cands
+    sh = _distinct_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side: explode
+    tokens → per-token xxhash64 → per-bit ±1 vote via bit tests → sign
+    per bit → reassemble.  The per-bit votes are 64 conditional sums in
+    one aggregate stage."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, using the
+    pigeonhole band trick (any pair within distance d < bands shares at
+    least one exact 16-bit band) — join on band equality, then exact
+    popcount filter."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.expr(f"(simhash >> {i * width}) & {mask}").alias(f"b{i}")
+        for i in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.col("simhash"), *band_cols)
+    banded = banded.select(
+        id_col,
+        "simhash",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    l = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band_id", "band_val",
+    )
+    r = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band_id", "band_val",
+    )
+    return (
+        l.join(r, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

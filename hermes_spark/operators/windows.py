@@ -138,9 +138,14 @@ def sessionize_batch(
     w = W.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col("event_id").asc()) \
         if "event_id" in events.columns else W.partitionBy(key).orderBy(F.col(ts_col).asc())
     lag_ts = F.lag(ts_col).over(w)
+    # compare in microseconds — exact, and identical semantics to the
+    # DuckDB oracle's epoch_us arithmetic (no second-truncation skew)
     is_new = (
         lag_ts.isNull()
-        | (F.col(ts_col).cast("long") - lag_ts.cast("long") > gap_seconds)
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(lag_ts)
+            > gap_seconds * 1_000_000
+        )
     ).cast("long")
     with_sid = events.withColumn(
         "session_id",

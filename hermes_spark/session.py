@@ -39,6 +39,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet carries UTC-naive timestamps; read them as
+        # TIMESTAMP (instant, session-TZ UTC) not TIMESTAMP_NTZ so
+        # event-time ops (unix_micros, watermarks, windows) apply
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
