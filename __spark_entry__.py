@@ -319,7 +319,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard near-dup pairs over documents + noisy
+    """Exact word-3-gram Jaccard near-dup pairs over documents + noisy
     copies (text || ' extra tail'), threshold 0.8."""
     from hermes_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -643,12 +643,17 @@ def oracle_sql() -> dict[str, str]:
             WITH alldocs AS (
               SELECT doc_id, text FROM documents
               UNION ALL SELECT doc_id + 10000, text || ' extra tail' FROM documents
-            ), pos AS (
-              SELECT doc_id, text,
-                     unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+            ), toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
               FROM alldocs
+            ), pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+              FROM toks
             ), sh AS (
-              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s FROM pos
+              SELECT DISTINCT doc_id,
+                     t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+              FROM pos
             ), sizes AS (
               SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
             ), common AS (

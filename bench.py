@@ -1,0 +1,133 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline operator queries run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the streaming CDC
+pipeline throughput (turns/sec, the BASELINE.json primary metric) runs
+on a deterministic synthetic transcript stream.  Every query is forced
+end-to-end with a noop sink (full materialization, no driver collect).
+
+Output: {"metric": "...", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "cdc_turns_per_sec": N, "cdc_turns": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_diff",
+    "merkle_events",
+    "sessionize",
+    "tumbling_hourly",
+    "range_join",
+    "star_join",
+    "pricing_summary",
+    "topk_per_group",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh",
+]
+
+CDC_BENCH_TURNS = int(os.environ.get("BENCH_CDC_TURNS", "1000000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    # warm the JVM/codegen once on the cheapest query
+    _force(qs["topk_per_group"](spark, sf_dir))
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
+    """End-to-end streaming CDC turns/sec on a synthetic stream
+    (~n_turns turns, skewed, with re-deliveries), 8 micro-batches."""
+    from hermes_spark.fixtures import (
+        TranscriptConfig,
+        generate_change_batches,
+        generate_transcripts,
+    )
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.pipeline import CdcPipeline
+
+    # ~120 turns/conv on average at these settings
+    n_convs = max(200, n_turns // 120)
+    cfg = TranscriptConfig(n_convs=n_convs, n_mega=3, mega_len=4000)
+    base = generate_transcripts(cfg)
+    batches = generate_change_batches(base, n_batches=8)
+    total_turns = sum(len(b) for b in batches)
+
+    src = os.path.join(work, "src")
+    npart = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for b in batches:
+        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).repartition(npart).write.mode(
+            "append"
+        ).parquet(src)
+
+    pipe = CdcPipeline(spark, src, os.path.join(work, "run"))
+    t0 = time.monotonic()
+    pipe.run_available()
+    wall = time.monotonic() - t0
+    return {
+        "cdc_turns": float(total_turns),
+        "cdc_wall_sec": round(wall, 3),
+        "cdc_turns_per_sec": round(total_turns / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from hermes_spark import build_session
+
+    spark = build_session(
+        "hermes_spark_bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    try:
+        queries = bench_queries(spark, sf_dir)
+        work = f"/tmp/hermes-bench-{os.getpid()}"
+        os.makedirs(work, exist_ok=True)
+        try:
+            cdc = bench_streaming_cdc(spark, work, CDC_BENCH_TURNS)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        total = round(sum(queries.values()) + cdc["cdc_wall_sec"], 3)
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_headline_plus_cdc_stream_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    **cdc,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

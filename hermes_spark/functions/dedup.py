@@ -50,13 +50,29 @@ def char_shingles(col: str | Column, n: int = 5) -> Column:
     )
 
 
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """All n-token word shingles (space-joined), lowercased.
+
+    Word shingles are the standard document-dedup unit: their space is
+    |vocab|^n, so document frequency per shingle stays low even on
+    low-diversity corpora where every char-5-gram is shared by most
+    docs (the stopword-shingle join blowup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
 def _distinct_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, unit: str = "char"
 ) -> DataFrame:
+    mk = char_shingles if unit == "char" else word_shingles
     return (
         df.select(
             F.col(id_col),
-            F.explode(F.array_distinct(char_shingles(text_col, n))).alias("sh"),
+            F.explode(F.array_distinct(mk(text_col, n))).alias("sh"),
         )
     )
 
@@ -67,15 +83,18 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
+    n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
-    """Exact Jaccard over distinct char n-grams for candidate pairs
+    """Exact Jaccard over distinct n-gram shingles for candidate pairs
     that share ≥1 shingle.  Output: (doc_a, doc_b, jaccard), doc_a <
-    doc_b.  ``max_doc_freq`` drops shingles appearing in more than that
-    many docs (stopword-shingle blowup guard at scale)."""
-    sh = _distinct_shingles(df, id_col, text_col, n)
+    doc_b.  Default unit is word 3-grams (rare shingles → the
+    shingle-equijoin stays near-linear); ``max_doc_freq`` additionally
+    drops shingles appearing in more than that many docs (boilerplate
+    guard at scale)."""
+    sh = _distinct_shingles(df, id_col, text_col, n, unit)
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
@@ -110,15 +129,16 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
+    n: int = 3,
     num_hashes: int = 64,
+    unit: str = "word",
 ) -> DataFrame:
     """num_hashes-wide MinHash signature per doc, entirely JVM-side:
     hash_i(shingle) = xxhash64(i, shingle); signature_i = min over the
     doc's distinct shingles.  One explode + one groupBy — the shuffle
     carries (id, shingle) pairs once, with all num_hashes mins computed
     as parallel aggregates (map-side partial min)."""
-    sh = _distinct_shingles(df, id_col, text_col, n)
+    sh = _distinct_shingles(df, id_col, text_col, n, unit)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -158,18 +178,36 @@ def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
+    n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     verify_threshold: float | None = 0.8,
+    max_doc_freq: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """LSH candidates, optionally verified with exact Jaccard on the
-    candidate set only (the standard two-phase near-dup pipeline)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    candidate set only (the standard two-phase near-dup pipeline).
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    before hashing — without it, low-diversity corpora (shared
+    boilerplate) make every pair moderately similar and band buckets
+    explode quadratically; with it, signatures represent the
+    *distinctive* content.  Band count trades recall for candidate
+    volume: 8 bands × 8 rows keeps P(candidate) = sim^8 per band —
+    ~0.999 recall at sim 0.9, ~0.4% at sim 0.5."""
+    sh_all = _distinct_shingles(df, id_col, text_col, n, unit)
+    if max_doc_freq is not None:
+        hot = sh_all.groupBy("sh").count().where(F.col("count") > max_doc_freq)
+        sh_all = sh_all.join(hot.select("sh"), "sh", "left_anti")
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh_all.groupBy(id_col).agg(*aggs)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     if verify_threshold is None:
         return cands
-    sh = _distinct_shingles(df, id_col, text_col, n)
+    sh = sh_all
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))

@@ -8,8 +8,6 @@ join.  Dot products run JVM-side via zip_with/aggregate (no Python in
 the hot loop); at real scale the query side is broadcast.
 """
 
-from __future__ import annotations
-
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -72,16 +70,25 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     out: str = "bucket",
 ) -> DataFrame:
-    """Sign-of-dot-product LSH bucket id (deterministic planes)."""
+    """Sign-of-dot-product LSH bucket id (deterministic planes).
+
+    Computed as one Arrow-vectorized pandas UDF doing a single numpy
+    matmul per batch — unrolling n_planes × dim as Column expressions
+    is correct but explodes codegen compile time."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bit = F.when(_dot(v, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, p)
-    return df.withColumn(out, bucket)
+    planes = rng.standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())          # (batch, dim)
+        bits = (m.astype(np.float64) @ planes) > 0
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out, bucket_of(F.col(vec_col)))
 
 
 def lsh_topk(

@@ -6,8 +6,6 @@ whole-stage codegen); the rolling-hash fingerprint is the one Arrow
 pandas UDF (bit math Spark SQL lacks at 64-bit unsigned width).
 """
 
-from __future__ import annotations
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -81,10 +81,12 @@ def unblocked_retry_candidates(
     heads = oldest_event_per_key(queue, key, order_col)
     if not parent_key_of:
         return heads
-    h, q = heads.alias("h"), queue.alias("q")
-    cond = [h[p].eqNullSafe(q[c]) for p, c in parent_key_of]
+    # rename the queue side wholesale (heads derives from queue — plain
+    # aliases are ambiguous under shared lineage)
+    q = queue.select([F.col(c).alias(f"__q_{c}") for c in queue.columns])
+    cond = [F.col(p).eqNullSafe(F.col(f"__q_{c}")) for p, c in parent_key_of]
     # a head is blocked if any *other* errored event references it
     not_self = F.lit(False)
     for k in key:
-        not_self = not_self | ~h[k].eqNullSafe(q[k])
-    return h.join(q, [*cond, not_self], "left_anti")
+        not_self = not_self | ~F.col(k).eqNullSafe(F.col(f"__q_{k}"))
+    return heads.join(q, [*cond, not_self], "left_anti")

@@ -41,24 +41,29 @@ def apply_soft_deletes(
     if deleted_col not in target.columns:
         target = target.withColumn(deleted_col, F.lit(None).cast("timestamp"))
 
-    ch = changes.alias("c")
-    tg = target.alias("t")
-    cond = [tg[k].eqNullSafe(ch[k]) for k in key]
+    # rename the change side wholesale — robust when target's lineage
+    # already contains the change DataFrame (iterated application)
+    ch = changes.select([F.col(c).alias(f"__c_{c}") for c in changes.columns])
+
+    def cc(c: str) -> Column:
+        return F.col(f"__c_{c}")
+
+    cond = [F.col(k).eqNullSafe(cc(k)) for k in key]
 
     data_cols = [c for c in target.columns if c not in key and c != deleted_col]
-    j = tg.join(ch, cond, "full_outer")
+    j = target.join(ch, cond, "full_outer")
 
-    has_change = ch[op_col].isNotNull()
-    is_delete = ch[op_col] == "delete"
+    has_change = cc(op_col).isNotNull()
+    is_delete = cc(op_col) == "delete"
 
-    out = [F.coalesce(tg[k], ch[k]).alias(k) for k in key]
+    out = [F.coalesce(F.col(k), cc(k)).alias(k) for k in key]
     for c in data_cols:
-        src = ch[c] if c in changes.columns else F.lit(None)
-        out.append(F.when(has_change & ~is_delete, src).otherwise(tg[c]).alias(c))
+        src = cc(c) if c in changes.columns else F.lit(None)
+        out.append(F.when(has_change & ~is_delete, src).otherwise(F.col(c)).alias(c))
     out.append(
-        F.when(has_change & is_delete, ch[ts_col])
+        F.when(has_change & is_delete, cc(ts_col))
         .when(has_change & ~is_delete, F.lit(None).cast("timestamp"))  # recycle
-        .otherwise(tg[deleted_col])
+        .otherwise(F.col(deleted_col))
         .alias(deleted_col)
     )
     return j.select(*out)

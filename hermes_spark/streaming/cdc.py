@@ -66,62 +66,84 @@ def _classify_group(
 
     out: list[pd.DataFrame] = []
     for pdf in pdfs:
+        # numpy-only hot path: per-group overhead is the throughput
+        # ceiling (every active conversation is one function call per
+        # micro-batch), so no pandas ops until the final output frame.
+        ti = pdf["turn_idx"].to_numpy()
+        ts = pdf["ts"].to_numpy()
+        cks = pdf["cksum"].to_numpy()
+        txt = pdf["text"].to_numpy(dtype=object)
+
         # per-key ordered application: event time then turn_idx (W3
         # analog — deterministic under bounded out-of-order arrival)
-        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
-        if not pdf["turn_idx"].duplicated().any():
-            # fast path (the overwhelmingly common case): no turn seen
-            # twice within the batch → fully vectorized classification
-            idx = pdf["turn_idx"].astype("int64")
-            prev = idx.map(snap)
-            is_tomb = pdf["text"].isna().to_numpy()
-            absent = prev.isna().to_numpy()
-            changed = (prev != pdf["cksum"]).to_numpy()
+        order = np.lexsort((ti, ts))
+        ti, ts, cks, txt = ti[order], ts[order], cks[order], txt[order]
+        is_tomb = np.array([t is None for t in txt], dtype=bool)
+
+        uniq = len(np.unique(ti)) == len(ti)
+        if uniq:
+            # vectorized classification: no turn delivered twice in-batch
+            prev = np.array([snap.get(t) for t in ti.tolist()], dtype=object)
+            absent = np.equal(prev, None)
+            changed = prev != cks
             op = np.where(
                 is_tomb,
                 np.where(~absent, "delete", "noop"),
                 np.where(absent, "insert", np.where(changed, "update", "noop")),
             )
-            # bulk state maintenance
             live = ~is_tomb
-            snap.update(
-                dict(zip(idx.to_numpy()[live].tolist(), pdf["cksum"].to_numpy()[live]))
-            )
-            for k in idx.to_numpy()[is_tomb & ~absent].tolist():
+            snap.update(zip(ti[live].tolist(), cks[live]))
+            for k in ti[is_tomb & ~absent].tolist():
                 snap.pop(k, None)
-            pdf = pdf.assign(op=op)[op != "noop"]
         else:
-            ops: list[str] = []
-            keep: list[bool] = []
-            for tidx, txt, ck in zip(
-                pdf["turn_idx"].to_numpy(),
-                pdf["text"].to_numpy(),
-                pdf["cksum"].to_numpy(),
+            # intra-batch re-delivery: apply sequentially, but emit at
+            # most ONE compacted event per turn (classified against the
+            # batch-start state — the sink MERGE needs one row per key,
+            # and compaction here is the reference's autoremediation
+            # _mergeEvents collapsed to first/last state, errorqueue.py:
+            # 187-417)
+            before = {t: snap.get(t) for t in set(ti.tolist())}
+            last_pos: dict[int, int] = {}
+            for i, (tidx, tomb, ck) in enumerate(
+                zip(ti.tolist(), is_tomb.tolist(), cks)
             ):
-                tidx = int(tidx)
-                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
-                    if tidx in snap:  # tombstone
-                        del snap[tidx]
-                        ops.append("delete")
-                        keep.append(True)
-                    else:
-                        ops.append("noop")
-                        keep.append(False)
-                elif tidx not in snap:
+                if tomb:
+                    snap.pop(tidx, None)
+                else:
                     snap[tidx] = ck
+                last_pos[tidx] = i
+            ops = []
+            for i, tidx in enumerate(ti.tolist()):
+                if last_pos[tidx] != i:
+                    ops.append("noop")  # superseded within batch
+                    continue
+                pre = before[tidx]
+                post = snap.get(tidx)
+                if post is None:
+                    ops.append("delete" if pre is not None else "noop")
+                elif pre is None:
                     ops.append("insert")
-                    keep.append(True)
-                elif snap[tidx] != ck:
-                    snap[tidx] = ck
+                elif pre != post:
                     ops.append("update")
-                    keep.append(True)
                 else:
                     ops.append("noop")
-                    keep.append(False)
-            pdf = pdf.assign(op=ops)[keep]
-        if len(pdf):
+            op = np.array(ops, dtype=object)
+
+        keep = op != "noop"
+        if keep.any():
             out.append(
-                pdf[["conv_id", "turn_idx", "op", "role", "text", "tool", "ts", "cksum"]]
+                pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"].to_numpy()[order][keep],
+                        "turn_idx": ti[keep],
+                        "op": op[keep],
+                        "role": pdf["role"].to_numpy()[order][keep],
+                        "text": txt[keep],
+                        "tool": pdf["tool"].to_numpy()[order][keep],
+                        "ts": ts[keep],
+                        "cksum": cks[keep],
+                    }
+                )
             )
 
     if snap:

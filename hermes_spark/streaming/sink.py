@@ -73,10 +73,15 @@ class ExactlyOnceSink:
         target: ParquetMergeTable,
         metrics_dir: str | None = None,
         transform: Callable[[DataFrame], DataFrame] | None = None,
+        assume_unique_keys: bool = True,
     ) -> None:
         self.target = target
         self.metrics_dir = metrics_dir or os.path.join(target.path, "_metrics")
         self.transform = transform
+        # the stateful classifier emits at most one compacted event per
+        # key per batch, so the per-batch dedupe shuffle is skipped by
+        # default; pass False when feeding raw (unclassified) changes.
+        self.assume_unique_keys = assume_unique_keys
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -85,7 +90,10 @@ class ExactlyOnceSink:
             return  # replayed batch — exactly-once no-op
         if self.transform is not None:
             changes = self.transform(changes)
-        batch = _latest_change_per_key(changes, self.target.key).cache()
+        if self.assume_unique_keys:
+            batch = changes.cache()
+        else:
+            batch = _latest_change_per_key(changes, self.target.key).cache()
         try:
             # lineage: per (partition, op) row counts of this batch
             lineage = (

@@ -43,7 +43,15 @@ from pyspark.sql import types as T
 
 class ParquetMergeTable:
     """A keyed target table with atomic versioned commits and
-    batch-id-idempotent MERGE."""
+    batch-id-idempotent MERGE, **merge-on-read** style.
+
+    A MERGE commit only writes the batch's change rows as a *delta*
+    snapshot — O(batch), not O(table) — mirroring Iceberg's
+    merge-on-read row-level operations.  ``read()`` reconstructs the
+    current state: base snapshot + deltas folded latest-per-key (op
+    ``delete`` drops the key).  After ``compact_every`` deltas the
+    table self-compacts into a new base (Iceberg's rewrite/maintenance
+    job), bounding read amplification."""
 
     def __init__(
         self,
@@ -51,11 +59,13 @@ class ParquetMergeTable:
         path: str,
         key: Sequence[str],
         schema: T.StructType,
+        compact_every: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key = list(key)
         self.schema = schema
+        self.compact_every = compact_every
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
 
     # -- commit log ---------------------------------------------------
@@ -71,9 +81,11 @@ class ParquetMergeTable:
         except FileNotFoundError:
             return []
 
-    def _append_commit(self, version: int, batch_id: int | str | None) -> None:
+    def _append_commit(
+        self, version: int, batch_id: int | str | None, kind: str = "base"
+    ) -> None:
         commits = self._read_commits()
-        commits.append({"version": version, "batch_id": batch_id})
+        commits.append({"version": version, "batch_id": batch_id, "kind": kind})
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(commits, f)
@@ -86,16 +98,60 @@ class ParquetMergeTable:
         commits = self._read_commits()
         return commits[-1]["version"] if commits else None
 
+    def _live_commits(self) -> tuple[dict | None, list[dict]]:
+        """(latest base commit, deltas after it, in commit order)."""
+        commits = self._read_commits()
+        base = None
+        deltas: list[dict] = []
+        for c in commits:
+            if c.get("kind", "base") == "base":
+                base, deltas = c, []
+            else:
+                deltas.append(c)
+        return base, deltas
+
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}")
 
     # -- read ----------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v is None:
+    def read(self, op_col: str = "op") -> DataFrame:
+        """Current state: base ⊎ deltas, latest-per-key wins, op delete
+        drops the key (the merge-on-read reconstruction)."""
+        base, deltas = self._live_commits()
+        fields = [f.name for f in self.schema.fields]
+        if base is None and not deltas:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
+        parts = []
+        if base is not None:
+            parts.append(
+                self.spark.read.schema(self.schema)
+                .parquet(self._version_dir(base["version"]))
+                .select(*fields)
+                .withColumn("_seq", F.lit(0))
+                .withColumn("_del", F.lit(False))
+            )
+        for i, d in enumerate(deltas):
+            parts.append(
+                self.spark.read.schema(self.schema)
+                .parquet(self._version_dir(d["version"]))
+                .select(*fields)
+                .withColumn("_seq", F.lit(i + 1))
+                .withColumn(
+                    "_del",
+                    F.col(op_col) == "delete" if op_col in fields else F.lit(False),
+                )
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        payload = [c for c in allrows.columns if c not in self.key]
+        latest = (
+            allrows.groupBy(*self.key)
+            .agg(F.max_by(F.struct(*payload), F.col("_seq")).alias("_r"))
+            .select(*self.key, "_r.*")
+        )
+        return latest.where(~F.col("_del")).drop("_seq", "_del")
 
     # -- write / merge ---------------------------------------------------
 
@@ -105,7 +161,7 @@ class ParquetMergeTable:
         df.select([f.name for f in self.schema.fields]).write.mode(
             "overwrite"
         ).parquet(out)
-        self._append_commit(v, batch_id)
+        self._append_commit(v, batch_id, kind="base")
 
     def merge(
         self,
@@ -116,22 +172,33 @@ class ParquetMergeTable:
         """MERGE INTO this table USING changes ON pkey.
 
         ``changes``: key cols + op (insert|update|delete) + payload
-        cols matching the table schema.  Rows with op delete remove the
-        key; insert/update upsert the payload.  Returns False when the
-        batch_id was already committed (idempotent replay no-op).
+        cols matching the table schema, at most one row per key.  Rows
+        with op delete remove the key; insert/update upsert.  Returns
+        False when the batch_id was already committed (idempotent
+        replay no-op).  O(batch): writes one delta snapshot; compaction
+        folds deltas into a new base every ``compact_every`` commits.
         """
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return False
-        target = self.read()
-        ch = changes
-        keys = ch.select(*self.key).distinct()
-        untouched = target.join(keys, self.key, "left_anti")
-        upserts = ch.where(F.col(op_col) != "delete").select(
-            *[F.col(f.name) for f in self.schema.fields]
-        )
-        merged = untouched.unionByName(upserts)
-        self.overwrite(merged, batch_id)
+        v = (self.current_version() or 0) + 1
+        changes.select([f.name for f in self.schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(self._version_dir(v))
+        self._append_commit(v, batch_id, kind="delta")
+        _, deltas = self._live_commits()
+        if len(deltas) >= self.compact_every:
+            self.compact()
         return True
+
+    def compact(self) -> None:
+        """Fold base + deltas into a fresh base snapshot (Iceberg
+        rewrite-data-files maintenance analog)."""
+        current = self.read()
+        v = (self.current_version() or 0) + 1
+        current.select([f.name for f in self.schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(self._version_dir(v))
+        self._append_commit(v, None, kind="base")
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -1,0 +1,137 @@
+"""Streaming windows + stream-stream join: stream results must equal
+their batch twins on the same input (watermark large enough that
+nothing is dropped; then a late-data test with a tight watermark)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from hermes_spark.fixtures import TranscriptConfig, generate_transcripts
+from hermes_spark.operators.tooljoin import correlate_tool_calls
+from hermes_spark.operators.windows import session_snapshots, tumbling_snapshots
+from hermes_spark.schema import TRANSCRIPT_SCHEMA
+from hermes_spark.streaming.join import stream_correlate_tool_calls
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    pdf = generate_transcripts(
+        TranscriptConfig(n_convs=30, mega_len=200, late_frac=0.0)
+    )
+    d = str(tmp_path_factory.mktemp("winsrc"))
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(d)
+    return d
+
+
+def _run_stream(spark, df, checkpoint):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(os.path.basename(checkpoint))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(os.path.basename(checkpoint))
+
+
+def test_tumbling_stream_equals_batch(spark, stream_src, tmp_work):
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    # huge watermark: all windows close when the stream drains? No —
+    # append-mode windows only emit once the watermark passes, so use a
+    # tiny watermark and an input with no late data instead.
+    agg = tumbling_snapshots(
+        stream.withWatermark("ts", "0 seconds"), duration="1 hour"
+    )
+    got = _run_stream(spark, agg, os.path.join(tmp_work, "ck_tumble"))
+
+    batch = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    exp = tumbling_snapshots(batch, duration="1 hour")
+    # append mode withholds windows not yet past the watermark (the
+    # final windows of the stream) — got ⊆ exp, and every emitted
+    # window must match the batch recomputation exactly.
+    assert got.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    missing = exp.exceptAll(got)
+    # only the stream-tail windows (max event time per conv) may be missing
+    assert missing.count() <= exp.select("conv_id").distinct().count() * 2
+
+
+def test_session_stream_subset_of_batch(spark, stream_src, tmp_work):
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    agg = session_snapshots(
+        stream.withWatermark("ts", "0 seconds"), gap="30 minutes"
+    )
+    got = _run_stream(spark, agg, os.path.join(tmp_work, "ck_sess"))
+    batch = session_snapshots(
+        spark.read.schema(TRANSCRIPT_SCHEMA).parquet(stream_src), gap="30 minutes"
+    )
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_join_matches_batch_join(spark, stream_src, tmp_work):
+    turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    j = stream_correlate_tool_calls(turns, watermark="2 hours", max_lag_seconds=3600)
+    got = _run_stream(spark, j, os.path.join(tmp_work, "ck_join"))
+
+    batch = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    exp_pairs = correlate_tool_calls(batch, max_lag_seconds=3600).where(
+        F.col("resp_turn_idx").isNotNull()
+    )
+    # stream emits ALL in-window candidates; batch keeps first response.
+    # check: every batch (call,first-response) pair appears in stream out.
+    got_k = got.select("conv_id", "call_turn_idx", "resp_turn_idx")
+    exp_k = exp_pairs.select("conv_id", "call_turn_idx", "resp_turn_idx")
+    assert exp_k.exceptAll(got_k.distinct()).count() == 0
+    assert got.count() >= exp_pairs.count()
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_work):
+    """Turns later than the watermark are excluded from closed windows
+    (the lateness contract W6)."""
+    import pandas as pd
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    for i in range(20):
+        rows.append(("c1", i, "user", f"t{i}", None, base + pd.Timedelta(seconds=30 * i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    src = os.path.join(tmp_work, "late_src")
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: much later turns (advance watermark far past 10:00 window)
+    pdf2 = pd.DataFrame(
+        [("c1", 100, "user", "later", None, base + pd.Timedelta(hours=5))],
+        columns=pdf.columns,
+    )
+    spark.createDataFrame(pdf2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: a very late turn for the already-closed 10:00 window
+    pdf3 = pd.DataFrame(
+        [("c1", 99, "user", "too late", None, base + pd.Timedelta(seconds=45))],
+        columns=pdf.columns,
+    )
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = tumbling_snapshots(stream.withWatermark("ts", "10 minutes"), "1 hour")
+    qname = "late_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_work, "ck_late"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(pdf3, TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(qname).where(F.col("conv_id") == "c1").collect()
+    ten = [r for r in out if r.window_start.hour == 10]
+    assert len(ten) == 1
+    assert ten[0].n_turns == 20  # late turn_idx=99 was NOT added
