@@ -421,6 +421,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_merkle_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase merkle — must equal q_merkle_events
+    bit-for-bit (same oracle): the salting guard for hot keys."""
+    from hermes_spark.operators.checksum import salted_merkle
+
+    ev = _t(spark, sf_dir, "events")
+    leaf = F.concat_ws(
+        ":", F.format_string("%010d", F.col("event_id")), F.sha2(F.col("event_type"), 256)
+    )
+    return salted_merkle(ev, "user_id", leaf, n_salts=16).select(
+        F.col("user_id"),
+        F.col("merkle"),
+        F.col("n_leaves").alias("n_events"),
+    )
+
+
+def q_attr_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 config-driven projection compiled to Column expressions."""
+    from hermes_spark.plans.mapping import apply_mapping
+
+    cust = _t(spark, sf_dir, "customer")
+    return apply_mapping(
+        cust,
+        {
+            "uid": "c_custkey",
+            "display": {"expr": "concat(c_name, ' [', c_mktsegment, ']')"},
+            "acct_bucket": {"expr": "cast(floor(c_acctbal / 1000) as bigint)"},
+        },
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (Arrow pandas UDF; rows-only check)."""
+    from hermes_spark.functions.text import rolling_hash
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash(F.col("text")).alias("rhash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -434,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_diff": q_cdc_diff,
         "merkle_events": q_merkle_events,
+        "merkle_salted": q_merkle_salted,
+        "attr_mapping": q_attr_mapping,
         "dedup_quarantine": q_dedup_quarantine,
         "merge_must_exist_in_both": q_merge_must_exist_in_both,
         "merge_must_not_exist": q_merge_must_not_exist,
@@ -458,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "rolling_fingerprint": q_rolling_fingerprint,
     }
 
 
@@ -503,6 +547,23 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(leaf, chr(31) ORDER BY leaf)) AS merkle,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM leaves GROUP BY user_id
+        """,
+        "merkle_salted": """
+            WITH leaves AS (
+              SELECT user_id,
+                     lpad(CAST(event_id AS VARCHAR), 10, '0') || ':' || sha256(event_type) AS leaf
+              FROM events
+            )
+            SELECT user_id,
+                   sha256(string_agg(leaf, chr(31) ORDER BY leaf)) AS merkle,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM leaves GROUP BY user_id
+        """,
+        "attr_mapping": """
+            SELECT c_custkey AS uid,
+                   c_name || ' [' || c_mktsegment || ']' AS display,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_bucket
+            FROM customer
         """,
         "dedup_quarantine": """
             SELECT o_orderkey % 14000 AS dup_key, CAST(count(*) AS BIGINT) AS dup_count

@@ -70,21 +70,22 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
     from hermes_spark.schema import TRANSCRIPT_SCHEMA
     from hermes_spark.streaming.pipeline import CdcPipeline
 
-    # ~120 turns/conv on average at these settings
-    n_convs = max(200, n_turns // 120)
+    # ~20 turns/conv on average at these settings (zipf + 3 mega-convs)
+    n_convs = max(200, n_turns // 20)
     cfg = TranscriptConfig(n_convs=n_convs, n_mega=3, mega_len=4000)
     base = generate_transcripts(cfg)
     batches = generate_change_batches(base, n_batches=8)
     total_turns = sum(len(b) for b in batches)
 
     src = os.path.join(work, "src")
-    npart = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     for b in batches:
-        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).repartition(npart).write.mode(
+        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).repartition(64).write.mode(
             "append"
         ).parquet(src)
 
-    pipe = CdcPipeline(spark, src, os.path.join(work, "run"))
+    # 64 files per append → 8 genuine micro-batches (sustained cadence,
+    # not one mega-batch)
+    pipe = CdcPipeline(spark, src, os.path.join(work, "run"), max_files_per_trigger=64)
     t0 = time.monotonic()
     pipe.run_available()
     wall = time.monotonic() - t0

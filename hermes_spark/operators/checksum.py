@@ -58,6 +58,39 @@ def turn_leaf(idx_col: str = "turn_idx", text_col: str = "text", width: int = 10
     )
 
 
+def salted_merkle(
+    df: DataFrame,
+    key: str,
+    leaf: Column,
+    n_salts: int = 16,
+    out: str = "merkle",
+    n_out: str = "n_leaves",
+) -> DataFrame:
+    """Skew-safe two-phase merkle rollup over arbitrary leaves.
+
+    Phase 1 groups on (key, salt) so no reducer holds a whole hot key's
+    leaf set; phase 2 merges ≤ n_salts partials per key (flatten,
+    re-sort, hash).  Bit-identical to the single-phase rollup — tests
+    and the driver oracle assert it — which is what makes it a drop-in
+    skew guard for mega-conversations."""
+    p1 = (
+        df.select(F.col(key), leaf.alias("_leaf"))
+        .withColumn("_salt", F.pmod(F.xxhash64("_leaf"), F.lit(n_salts)))
+        .groupBy(key, "_salt")
+        .agg(
+            F.sort_array(F.collect_list("_leaf")).alias("_leaves"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    return p1.groupBy(key).agg(
+        F.sha2(
+            F.concat_ws(_SEP, F.sort_array(F.flatten(F.collect_list("_leaves")))),
+            256,
+        ).alias(out),
+        F.sum("_n").cast("long").alias(n_out),
+    )
+
+
 def conversation_merkle(
     df: DataFrame,
     key: str = "conv_id",

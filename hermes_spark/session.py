@@ -31,10 +31,11 @@ def build_session(
     """
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":  # "inherit": spark-submit --master decides
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        builder.config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -11,24 +11,25 @@ Spark restatement: Structured Streaming replays an uncommitted
 micro-batch after restart with the *same* batch_id; the sink MERGE is
 keyed on (batch_id, pkey) — `ParquetMergeTable.merge` records batch_id
 in its atomic commit log and no-ops on replay, yielding end-to-end
-exactly-once on top of at-least-once delivery, the same trick as the
-reference's content-dedup but transactional.
+exactly-once on top of at-least-once delivery.
 
 Per-batch lineage/metrics (the reference's diff counters + per-phase
-timings surfaced over CLI/status, hermesserver.py:584-616,
-dataobjectlist.py:313-321): a metrics table keyed
-(batch_id, partition_id, op) with row counts and wall ms, appended in
-the same foreachBatch (replay-safe: recomputed rows for an already-
-committed batch are skipped together with the MERGE).
+timings, hermesserver.py:584-616, dataobjectlist.py:313-321) are
+collected with ZERO extra Spark jobs: an ``Observation`` rides the
+single delta-write job (op counts, rows) and lands inside the same
+atomic commit entry as the data — crash-consistent by construction.
+Per-partition lineage detail is derivable on demand from the delta
+snapshot files themselves (one file set per batch).  One job per
+micro-batch is also the scaling-efficiency lever: serial driver work
+per batch is what flattens the N→4N curve.
 """
 
 from __future__ import annotations
 
-import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -37,11 +38,19 @@ from hermes_spark.tables import ParquetMergeTable
 
 METRICS_SCHEMA = T.StructType(
     [
-        T.StructField("batch_id", T.LongType(), False),
-        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("batch_id", T.LongType(), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("rows", T.LongType(), True),
         T.StructField("wall_ms", T.LongType(), True),
+    ]
+)
+
+PARTITION_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("rows", T.LongType(), True),
     ]
 )
 
@@ -65,18 +74,16 @@ def _latest_change_per_key(changes: DataFrame, key: list[str]) -> DataFrame:
 
 
 class ExactlyOnceSink:
-    """foreachBatch body: dedupe → deterministic order → idempotent
-    MERGE → lineage metrics."""
+    """foreachBatch body: (optional dedupe) → idempotent MERGE with
+    observed metrics — exactly one Spark job per micro-batch."""
 
     def __init__(
         self,
         target: ParquetMergeTable,
-        metrics_dir: str | None = None,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         assume_unique_keys: bool = True,
     ) -> None:
         self.target = target
-        self.metrics_dir = metrics_dir or os.path.join(target.path, "_metrics")
         self.transform = transform
         # the stateful classifier emits at most one compacted event per
         # key per batch, so the per-batch dedupe shuffle is skipped by
@@ -85,38 +92,75 @@ class ExactlyOnceSink:
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        spark = changes.sparkSession
         if batch_id in self.target.committed_batch_ids():
             return  # replayed batch — exactly-once no-op
         if self.transform is not None:
             changes = self.transform(changes)
-        if self.assume_unique_keys:
-            batch = changes.cache()
-        else:
-            batch = _latest_change_per_key(changes, self.target.key).cache()
-        try:
-            # lineage: per (partition, op) row counts of this batch
-            lineage = (
-                batch.withColumn("partition_id", F.spark_partition_id())
+        if not self.assume_unique_keys:
+            changes = _latest_change_per_key(changes, self.target.key)
+        obs = Observation(f"lineage_{batch_id}")
+        observed = changes.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("op") == "insert").cast("long")).alias("inserts"),
+            F.sum((F.col("op") == "update").cast("long")).alias("updates"),
+            F.sum((F.col("op") == "delete").cast("long")).alias("deletes"),
+        )
+        committed = self.target.merge(changes=observed, batch_id=batch_id)
+        if committed:
+            got = obs.get
+            self.target.annotate_last_commit(
+                {
+                    "rows": got["rows"],
+                    "inserts": got["inserts"] or 0,
+                    "updates": got["updates"] or 0,
+                    "deletes": got["deletes"] or 0,
+                    "wall_ms": int((time.monotonic() - t0) * 1000),
+                }
+            )
+
+    # -- metrics surfaces ---------------------------------------------------
+
+    def metrics(self) -> DataFrame:
+        """Per-batch op counts + sink wall (from commit-log entries)."""
+        rows = []
+        for c in self.target._read_commits():
+            info = c.get("info")
+            if not info or c.get("batch_id") is None:
+                continue
+            for op in ("inserts", "updates", "deletes"):
+                rows.append(
+                    (
+                        int(c["batch_id"]),
+                        op.rstrip("s"),
+                        int(info.get(op, 0)),
+                        int(info.get("wall_ms", 0)),
+                    )
+                )
+        return self.target.spark.createDataFrame(rows, METRICS_SCHEMA)
+
+    def partition_lineage(self) -> DataFrame:
+        """Per (batch, partition, op) row counts, derived from the delta
+        snapshot files (one file set per committed batch) — the detailed
+        lineage view, computed on demand instead of per trigger."""
+        spark = self.target.spark
+        parts = []
+        for c in self.target._read_commits():
+            if c.get("kind") != "delta" or c.get("batch_id") is None:
+                continue
+            d = spark.read.schema(self.target.schema).parquet(
+                self.target._version_dir(c["version"])
+            )
+            parts.append(
+                d.withColumn("partition_id", F.spark_partition_id())
                 .groupBy("partition_id", "op")
                 .agg(F.count(F.lit(1)).cast("long").alias("rows"))
-                .collect()
+                .withColumn("batch_id", F.lit(int(c["batch_id"])))
+                .select("batch_id", "partition_id", "op", "rows")
             )
-            self.target.merge(batch, batch_id=batch_id)
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            rows = [
-                (int(batch_id), int(r["partition_id"]), r["op"], int(r["rows"]), wall_ms)
-                for r in lineage
-            ] or [(int(batch_id), None, None, 0, wall_ms)]
-            spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.metrics_dir)
-        finally:
-            batch.unpersist()
-
-    def metrics(self) -> DataFrame | None:
-        spark = self.target.spark
-        try:
-            return spark.read.schema(METRICS_SCHEMA).parquet(self.metrics_dir)
-        except Exception:
-            return None
+        if not parts:
+            return spark.createDataFrame([], PARTITION_METRICS_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

@@ -82,10 +82,17 @@ class ParquetMergeTable:
             return []
 
     def _append_commit(
-        self, version: int, batch_id: int | str | None, kind: str = "base"
+        self,
+        version: int,
+        batch_id: int | str | None,
+        kind: str = "base",
+        info: dict | None = None,
     ) -> None:
         commits = self._read_commits()
-        commits.append({"version": version, "batch_id": batch_id, "kind": kind})
+        entry = {"version": version, "batch_id": batch_id, "kind": kind}
+        if info:
+            entry["info"] = info
+        commits.append(entry)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(commits, f)
@@ -168,6 +175,7 @@ class ParquetMergeTable:
         changes: DataFrame,
         batch_id: int | str | None = None,
         op_col: str = "op",
+        commit_info: dict | None = None,
     ) -> bool:
         """MERGE INTO this table USING changes ON pkey.
 
@@ -184,11 +192,23 @@ class ParquetMergeTable:
         changes.select([f.name for f in self.schema.fields]).write.mode(
             "overwrite"
         ).parquet(self._version_dir(v))
-        self._append_commit(v, batch_id, kind="delta")
+        self._append_commit(v, batch_id, kind="delta", info=commit_info)
         _, deltas = self._live_commits()
         if len(deltas) >= self.compact_every:
             self.compact()
         return True
+
+    def annotate_last_commit(self, info: dict) -> None:
+        """Attach metrics/lineage info to the most recent commit entry
+        (atomic rewrite of the pointer file — no Spark job)."""
+        commits = self._read_commits()
+        if not commits:
+            return
+        commits[-1]["info"] = {**commits[-1].get("info", {}), **info}
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(commits, f)
+        os.replace(tmp, self._commits_path)
 
     def compact(self) -> None:
         """Fold base + deltas into a fresh base snapshot (Iceberg

@@ -1,0 +1,58 @@
+"""Event JSON round-trip, schema evolution, source registry."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from hermes_spark.operators.events import (
+    diff_schemas,
+    event_from_json,
+    event_to_json,
+    evolve_schema,
+)
+from hermes_spark.schema import CHANGE_EVENT_SCHEMA
+from hermes_spark.sources import snapshot, stream
+
+
+def test_event_json_roundtrip(spark):
+    ev = spark.createDataFrame(
+        [("c1", 0, "insert", "user", "hi", None, "2026-01-01 00:00:00", "abc")],
+        "conv_id string, turn_idx int, op string, role string, text string,"
+        " tool string, ts string, cksum string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    wire = event_to_json(ev)
+    assert set(wire.columns) == {"key", "value"}
+    back = event_from_json(wire)
+    # from_json yields all-nullable fields; compare names + types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in CHANGE_EVENT_SCHEMA.fields
+    ]
+    r = back.collect()[0]
+    assert (r.conv_id, r.turn_idx, r.op, r.text, r.tool) == ("c1", 0, "insert", "hi", None)
+
+
+def test_schema_diff_and_evolution(spark):
+    old = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])
+    new = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.DoubleType())])
+    d = diff_schemas(old, new)
+    assert d.added == ["c"] and d.removed == ["b"]
+    assert d.retyped == [("a", "int", "bigint")]
+    ev = evolve_schema(old, new)
+    assert [f.name for f in ev.fields] == ["a", "b", "c"]
+    assert ev["c"].nullable
+
+
+def test_snapshot_sources(spark, sf_dir):
+    df = snapshot(spark, f"parquet:{sf_dir}/nation.parquet")
+    assert df.count() == 25
+    with pytest.raises(ValueError):
+        snapshot(spark, "/no/scheme")
+    with pytest.raises(ValueError):
+        snapshot(spark, f"csv:{sf_dir}/x.csv")  # schema required
+
+
+def test_stream_source_registry(spark, sf_dir, tmp_work):
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+
+    s = stream(spark, f"parquet:{sf_dir}", TRANSCRIPT_SCHEMA)
+    assert s.isStreaming
