@@ -54,6 +54,13 @@ def build_session(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # commit only the per-batch changelog instead of full SST
+        # snapshots — the difference between flat and linear scaling of
+        # the stateful stage (maintenance thread compacts in background)
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -36,6 +36,7 @@ class CdcPipeline:
     work_dir: str            # checkpoint + target + metrics
     watermark: str = "10 minutes"
     max_files_per_trigger: int | None = None
+    n_buckets: int | None = 1024  # state-key coarsening (None = per conv_id)
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -54,7 +55,9 @@ class CdcPipeline:
         return reader.parquet(self.source_dir)
 
     def changes(self) -> DataFrame:
-        return classify_changes(self.source(), watermark=self.watermark)
+        return classify_changes(
+            self.source(), watermark=self.watermark, n_buckets=self.n_buckets
+        )
 
     def start(self) -> StreamingQuery:
         return (

@@ -133,3 +133,21 @@ def test_lineage_metrics_written(spark, tmp_work, batches):
     ops = {r.op for r in m.select("op").distinct().collect()}
     assert "insert" in ops
     assert m.where(F.col("rows") < 0).count() == 0
+
+
+def test_bucketed_equals_per_conv_state(spark, tmp_work, batches):
+    """State-key bucketing is a pure performance knob: final target
+    state must be identical to per-conv_id keying."""
+    from dataclasses import replace
+
+    _, pdfs = batches
+    src = os.path.join(tmp_work, "src")
+    _write_batches(spark, pdfs, src)
+
+    a = CdcPipeline(spark, src, os.path.join(tmp_work, "perconv"), n_buckets=None)
+    a.run_available()
+    b = CdcPipeline(spark, src, os.path.join(tmp_work, "bucketed"), n_buckets=64)
+    b.run_available()
+    ta = a.target_live().select("conv_id", "turn_idx", "text", "cksum", "op")
+    tb = b.target_live().select("conv_id", "turn_idx", "text", "cksum", "op")
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
