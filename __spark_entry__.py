@@ -413,6 +413,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer) — the similarity scale path."""
+    from hermes_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=6)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hermes_spark.functions.multimodal import extract_features, synthetic_media
 
@@ -500,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "rolling_fingerprint": q_rolling_fingerprint,
     }

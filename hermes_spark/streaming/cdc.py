@@ -1,29 +1,46 @@
 """Stateful per-conversation CDC classification (the streaming J3).
 
 Each arriving turn is classified insert / update / delete against a
-per-``conv_id`` state store, reproducing the reference's snapshot-diff
-semantics (/root/reference/lib/datamodel/dataobjectlist.py:294-322 and
-the client apply path clients/datamodel.py:645-659) incrementally:
+keyed state store, reproducing the reference's snapshot-diff semantics
+(/root/reference/lib/datamodel/dataobjectlist.py:294-322 and the client
+apply path clients/datamodel.py:645-659) incrementally:
 
 * first delivery of a (conv_id, turn_idx)        → insert
 * re-delivery with a different content checksum   → update
 * re-delivery with the same checksum              → no-op (dropped;
   unchanged rows never re-emit — the reference's dedup-by-content)
 * tombstone (text IS NULL)                        → delete if the key
-  exists, else no-op (removing a non-existent key emits nothing)
+  is live, else no-op (the tombstone is still remembered)
+
+**Last-writer-by-event-time.** The reference consumes a totally
+ordered bus, so it can apply deliveries blindly in arrival order.  A
+distributed file/object stream has no such guarantee — micro-batch
+composition depends on listing order — so state stores
+``(event_ts, cks64)`` per key and a delivery older than the stored
+entry is *stale* and suppressed (ties broken by the larger cks64,
+making the final state a deterministic max over deliveries, completely
+independent of batch grouping).  Tombstones are remembered with their
+timestamp so a reordered older insert cannot resurrect a deleted turn.
+Within one micro-batch at most ONE compacted event per key is emitted
+(classified against the batch-start state — the sink MERGE wants one
+row per key; compaction is the reference's autoremediation
+``_mergeEvents`` collapsed to first/last state, errorqueue.py:187-417).
 
 Design for 10^12 turns:
 
-* The content checksum is computed **JVM-side** (``F.sha2`` over the
-  event-visible columns) *before* the stateful operator, so the Python
-  side never hashes text — the grouped-state function only does
-  O(batch) dict/array bookkeeping on 64-char digests.  This is also
-  what bounds state size: state per conversation is (turn_idx → cksum),
-  ~72 bytes/turn, never the text itself (mega-conversation safe).
-* ``applyInPandasWithState`` keyed on conv_id — state co-partitioned by
-  the same key as every downstream aggregate, so the post-classify
-  windowed rollups reuse the shuffle.
-* Arrow batches in/out; no per-row Python UDFs anywhere.
+* Checksums are computed **JVM-side** before the stateful operator:
+  ``cksum`` (sha256 — event payload, MERGE guard, merkle leaves) and
+  ``cks64`` (xxhash64 — the 8-byte state compare key).  State per turn
+  is (int32 turn, int64 ts, int64 cks) — never text; mega-conversation
+  state stays tiny.
+* State-key bucketing (``n_buckets``): ``applyInPandasWithState`` costs
+  ~5 ms per *group* per micro-batch (Arrow chunking + pandas frames +
+  state serde), and keying on conv_id makes every active conversation
+  pay it every batch.  Bucketing on ``hash(conv_id) % N`` divides the
+  group count while the per-(conv,turn) truth table is untouched
+  (equivalence is tested).
+* Arrow batches in/out; the group function is a tight dict loop over
+  pre-extracted arrays — no per-row Python UDFs anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -40,35 +57,97 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from hermes_spark.operators.checksum import row_cksum
 from hermes_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPTS
 
-# state: parallel arrays (turn_idxs, cksums) — compact, Arrow-friendly
+# per-conv state: parallel arrays over turns
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
-        T.StructField("cksums", T.ArrayType(T.StringType()), True),
+        T.StructField("ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("cks", T.ArrayType(T.LongType()), True),  # None = tombstone
     ]
 )
 
-# bucketed mode: state keyed on hash(conv_id) % n_buckets; entries are
-# flattened (conv_id, turn_idx, cksum) triples for all convs in the
-# bucket.  Rationale: applyInPandasWithState costs ~5ms per GROUP per
-# batch (Arrow chunk + pandas frames + state ser/de), and with state
-# keyed on conv_id every active conversation pays it every micro-batch.
-# Bucketing divides the group count by ~30× while the per-(conv,turn)
-# classification logic stays identical — the standard state-key
-# coarsening trick for high-cardinality keyed state.
+# bucketed state: every conversation of the bucket, flattened
 BUCKET_STATE_SCHEMA = T.StructType(
     [
         T.StructField("conv_ids", T.ArrayType(T.StringType()), True),
         T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
-        # state compares 64-bit content hashes (xxhash64), not the full
-        # sha256 hex: 4× smaller state and serde; the sha256 checksum
-        # still travels in the event payload / MERGE guard / merkle.
-        T.StructField("cksums", T.ArrayType(T.LongType()), True),
+        T.StructField("ts_us", T.ArrayType(T.LongType()), True),
+        T.StructField("cks", T.ArrayType(T.LongType()), True),  # None = tombstone
     ]
 )
 
-_IN_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "cksum"]
-_BUCKET_IN_COLS = [*_IN_COLS, "cks64", "_bucket"]
+_IN_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "cksum", "cks64"]
+_BUCKET_IN_COLS = [*_IN_COLS, "_bucket"]
+
+_NEG_INF = -(1 << 62)
+
+
+def _apply_batch(
+    snap: dict,
+    keys: list,
+    ts_us: np.ndarray,
+    cks: np.ndarray,
+    is_tomb: np.ndarray,
+) -> np.ndarray:
+    """Apply one micro-batch's deliveries for one state group.
+
+    ``snap``: key -> (ts_us, cks64 | None); mutated in place.
+    Returns the compacted per-row op array ('noop' for suppressed /
+    superseded rows; at most one non-noop row per key — the one holding
+    the key's final in-batch value).
+
+    Last-writer rule: a delivery applies iff (ts, cks_or_-inf) is
+    strictly greater than the stored entry.  Ops are classified against
+    the batch-START state so the emitted event matches what the sink
+    MERGE will do to the target.
+    """
+    before: dict = {}
+    winner: dict = {}
+    n = len(keys)
+    ops = ["noop"] * n
+    tlist = ts_us.tolist()
+    clist = cks.tolist()
+    tomb = is_tomb.tolist()
+    for i in range(n):
+        k = keys[i]
+        cur = snap.get(k)
+        if k not in before:
+            before[k] = cur
+        rank = (tlist[i], _NEG_INF if tomb[i] else clist[i])
+        if cur is not None and rank <= (cur[0], _NEG_INF if cur[1] is None else cur[1]):
+            continue  # stale or duplicate — suppressed
+        snap[k] = (tlist[i], None if tomb[i] else clist[i])
+        winner[k] = i
+    for k, i in winner.items():
+        pre = before[k]
+        pre_live = pre is not None and pre[1] is not None
+        post = snap[k]
+        if post[1] is None:
+            ops[i] = "delete" if pre_live else "noop"
+        elif not pre_live:
+            ops[i] = "insert"
+        elif pre[1] != post[1]:
+            ops[i] = "update"
+        # else unchanged content → noop
+    return np.array(ops, dtype=object)
+
+
+def _emit(pdf: pd.DataFrame, order: np.ndarray, keep: np.ndarray,
+          ti: np.ndarray, op: np.ndarray, ts: np.ndarray, sha: np.ndarray,
+          txt: np.ndarray, conv: np.ndarray | None = None) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": (conv[keep] if conv is not None
+                        else pdf["conv_id"].to_numpy()[order][keep]),
+            "turn_idx": ti[keep],
+            "op": op[keep],
+            "role": pdf["role"].to_numpy()[order][keep],
+            "text": txt[keep],
+            "tool": pdf["tool"].to_numpy()[order][keep],
+            "ts": ts[keep],
+            "cksum": sha[keep],
+        }
+    )
 
 
 def _classify_group(
@@ -76,99 +155,38 @@ def _classify_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Grouped-state function: diff arriving turns against the held
-    (turn_idx → cksum) snapshot for one conversation."""
+    """Per-conversation grouped-state function (state key = conv_id)."""
     if state.exists:
-        turn_idxs, cksums = state.get
-        snap: dict[int, str] = dict(zip(turn_idxs, cksums))
+        turn_idxs, ts_us_s, cks_s = state.get
+        snap = {t: (u, c) for t, u, c in zip(turn_idxs, ts_us_s, cks_s)}
     else:
         snap = {}
 
     out: list[pd.DataFrame] = []
     for pdf in pdfs:
-        # numpy-only hot path: per-group overhead is the throughput
-        # ceiling (every active conversation is one function call per
-        # micro-batch), so no pandas ops until the final output frame.
         ti = pdf["turn_idx"].to_numpy()
         ts = pdf["ts"].to_numpy()
-        cks = pdf["cksum"].to_numpy()
+        cks = pdf["cks64"].to_numpy()
+        sha = pdf["cksum"].to_numpy()
         txt = pdf["text"].to_numpy(dtype=object)
-
-        # per-key ordered application: event time then turn_idx (W3
-        # analog — deterministic under bounded out-of-order arrival)
         order = np.lexsort((ti, ts))
-        ti, ts, cks, txt = ti[order], ts[order], cks[order], txt[order]
+        ti, ts, cks, sha, txt = ti[order], ts[order], cks[order], sha[order], txt[order]
         is_tomb = np.array([t is None for t in txt], dtype=bool)
-
-        uniq = len(np.unique(ti)) == len(ti)
-        if uniq:
-            # vectorized classification: no turn delivered twice in-batch
-            prev = np.array([snap.get(t) for t in ti.tolist()], dtype=object)
-            absent = np.equal(prev, None)
-            changed = prev != cks
-            op = np.where(
-                is_tomb,
-                np.where(~absent, "delete", "noop"),
-                np.where(absent, "insert", np.where(changed, "update", "noop")),
-            )
-            live = ~is_tomb
-            snap.update(zip(ti[live].tolist(), cks[live]))
-            for k in ti[is_tomb & ~absent].tolist():
-                snap.pop(k, None)
-        else:
-            # intra-batch re-delivery: apply sequentially, but emit at
-            # most ONE compacted event per turn (classified against the
-            # batch-start state — the sink MERGE needs one row per key,
-            # and compaction here is the reference's autoremediation
-            # _mergeEvents collapsed to first/last state, errorqueue.py:
-            # 187-417)
-            before = {t: snap.get(t) for t in set(ti.tolist())}
-            last_pos: dict[int, int] = {}
-            for i, (tidx, tomb, ck) in enumerate(
-                zip(ti.tolist(), is_tomb.tolist(), cks)
-            ):
-                if tomb:
-                    snap.pop(tidx, None)
-                else:
-                    snap[tidx] = ck
-                last_pos[tidx] = i
-            ops = []
-            for i, tidx in enumerate(ti.tolist()):
-                if last_pos[tidx] != i:
-                    ops.append("noop")  # superseded within batch
-                    continue
-                pre = before[tidx]
-                post = snap.get(tidx)
-                if post is None:
-                    ops.append("delete" if pre is not None else "noop")
-                elif pre is None:
-                    ops.append("insert")
-                elif pre != post:
-                    ops.append("update")
-                else:
-                    ops.append("noop")
-            op = np.array(ops, dtype=object)
-
+        ts_us = ts.astype("datetime64[us]").astype("int64")
+        op = _apply_batch(snap, ti.tolist(), ts_us, cks, is_tomb)
         keep = op != "noop"
         if keep.any():
-            out.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": pdf["conv_id"].to_numpy()[order][keep],
-                        "turn_idx": ti[keep],
-                        "op": op[keep],
-                        "role": pdf["role"].to_numpy()[order][keep],
-                        "text": txt[keep],
-                        "tool": pdf["tool"].to_numpy()[order][keep],
-                        "ts": ts[keep],
-                        "cksum": cks[keep],
-                    }
-                )
-            )
+            out.append(_emit(pdf, order, keep, ti, op, ts, sha, txt))
 
     if snap:
         items = sorted(snap.items())
-        state.update(([i for i, _ in items], [c for _, c in items]))
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [None if v[1] is None else int(v[1]) for _, v in items],
+            )
+        )
     elif state.exists:
         state.remove()
 
@@ -182,11 +200,13 @@ def _classify_bucket(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Bucketed grouped-state function: same per-(conv,turn) truth
-    table as ``_classify_group``, state holds every conversation of the
-    bucket as flattened parallel arrays."""
+    table, state holds every conversation of the bucket."""
     if state.exists:
-        conv_ids, turn_idxs, cksums = state.get
-        snap: dict[tuple, str] = dict(zip(zip(conv_ids, turn_idxs), cksums))
+        conv_ids, turn_idxs, ts_us_s, cks_s = state.get
+        snap = {
+            (cv, t): (u, c)
+            for cv, t, u, c in zip(conv_ids, turn_idxs, ts_us_s, cks_s)
+        }
     else:
         snap = {}
 
@@ -198,75 +218,17 @@ def _classify_bucket(
         cks = pdf["cks64"].to_numpy()
         sha = pdf["cksum"].to_numpy()
         txt = pdf["text"].to_numpy(dtype=object)
-
-        # per-conv ordered application: (ts, turn_idx) within each conv;
-        # cross-conv interleaving is irrelevant (independent keys)
         order = np.lexsort((ti, ts))
         conv, ti, ts, cks, sha, txt = (
             conv[order], ti[order], ts[order], cks[order], sha[order], txt[order],
         )
         is_tomb = np.array([t is None for t in txt], dtype=bool)
+        ts_us = ts.astype("datetime64[us]").astype("int64")
         keys = list(zip(conv.tolist(), ti.tolist()))
-
-        if len(set(keys)) == len(keys):
-            prev = np.array([snap.get(k) for k in keys], dtype=object)
-            absent = np.equal(prev, None)
-            changed = prev != cks
-            op = np.where(
-                is_tomb,
-                np.where(~absent, "delete", "noop"),
-                np.where(absent, "insert", np.where(changed, "update", "noop")),
-            )
-            live = ~is_tomb
-            snap.update(
-                zip([k for k, l in zip(keys, live.tolist()) if l], cks[live])
-            )
-            for k, t, a in zip(keys, is_tomb.tolist(), absent.tolist()):
-                if t and not a:
-                    snap.pop(k, None)
-        else:
-            # intra-batch re-delivery: sequential apply, compacted
-            # emission (≤1 event per key vs batch-start state)
-            before = {k: snap.get(k) for k in set(keys)}
-            last_pos: dict[tuple, int] = {}
-            for i, (k, tomb, ck) in enumerate(zip(keys, is_tomb.tolist(), cks)):
-                if tomb:
-                    snap.pop(k, None)
-                else:
-                    snap[k] = ck
-                last_pos[k] = i
-            ops = []
-            for i, k in enumerate(keys):
-                if last_pos[k] != i:
-                    ops.append("noop")
-                    continue
-                pre, post = before[k], snap.get(k)
-                if post is None:
-                    ops.append("delete" if pre is not None else "noop")
-                elif pre is None:
-                    ops.append("insert")
-                elif pre != post:
-                    ops.append("update")
-                else:
-                    ops.append("noop")
-            op = np.array(ops, dtype=object)
-
+        op = _apply_batch(snap, keys, ts_us, cks, is_tomb)
         keep = op != "noop"
         if keep.any():
-            out.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": conv[keep],
-                        "turn_idx": ti[keep],
-                        "op": op[keep],
-                        "role": pdf["role"].to_numpy()[order][keep],
-                        "text": txt[keep],
-                        "tool": pdf["tool"].to_numpy()[order][keep],
-                        "ts": ts[keep],
-                        "cksum": sha[keep],
-                    }
-                )
-            )
+            out.append(_emit(pdf, order, keep, ti, op, ts, sha, txt, conv=conv))
 
     if snap:
         items = sorted(snap.items())
@@ -274,7 +236,8 @@ def _classify_bucket(
             (
                 [c for (c, _t), _ in items],
                 [t for (_c, t), _ in items],
-                [int(v) for _, v in items],
+                [v[0] for _, v in items],
+                [None if v[1] is None else int(v[1]) for _, v in items],
             )
         )
     elif state.exists:
@@ -294,7 +257,8 @@ def with_content_cksum(turns: DataFrame) -> DataFrame:
     key; 8 bytes instead of 64, which is most of the state size)."""
     cols = list(TRANSCRIPTS.event_visible)
     return turns.withColumn("cksum", row_cksum(cols)).withColumn(
-        "cks64", F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+        "cks64",
+        F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]),
     )
 
 
@@ -306,10 +270,10 @@ def classify_changes(
     """Streaming DataFrame of turns → change-event stream.
 
     ``n_buckets``: state-key coarsening factor (None → state keyed
-    directly on conv_id; the semantics are identical, tests assert it —
-    bucketing only amortizes the per-group operator overhead).  Batch
-    equivalence oracle: ``operators.diff.snapshot_diff`` on the same
-    input (tests assert final-state equality).
+    directly on conv_id; semantics identical, tests assert it).  The
+    final target state is delivery-order-independent (last-writer by
+    event time), so any micro-batch grouping of the same input yields
+    the same target — the batch oracle is last-writer per key.
     """
     src = with_content_cksum(turns)
     if watermark is not None and turns.isStreaming:
@@ -322,9 +286,7 @@ def classify_changes(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    src = src.withColumn(
-        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
-    )
+    src = src.withColumn("_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)))
     return src.select(*_BUCKET_IN_COLS).groupBy("_bucket").applyInPandasWithState(
         _classify_bucket,
         outputStructType=CHANGE_EVENT_SCHEMA,

@@ -1,0 +1,115 @@
+"""Training-pipeline function library: dedup recall, ANN recall,
+text metrics, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    noisy = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    )
+    return d.unionByName(noisy).cache()
+
+
+def test_exact_dedup_finds_all_copies(spark, sf_dir):
+    from hermes_spark.functions.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    out = exact_dedup(both)
+    n = d.count()
+    assert out.count() == n
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == 2 * n
+    assert out.agg(F.max("doc_id")).collect()[0][0] < 10000  # min-id survives
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH+verify must find (essentially) every true near-dup pair that
+    exact Jaccard finds at the same threshold."""
+    from hermes_spark.functions.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, verify_threshold=0.8).collect()
+    }
+    assert lsh <= exact  # verify phase makes candidates exact-checked
+    recall = len(lsh & exact) / max(1, len(exact))
+    assert recall >= 0.95, f"LSH recall {recall}"
+
+
+def test_simhash_near_pairs(spark, docs):
+    from hermes_spark.functions.dedup import simhash, simhash_near_pairs
+
+    sigs = simhash(docs)
+    pairs = simhash_near_pairs(sigs, max_hamming=6, bands=8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # each noisy copy should be hamming-close to its source
+    n_true = docs.count() // 2
+    hits = sum(1 for (a, b) in got if b - a == 10000)
+    assert hits >= n_true * 0.9
+
+
+def test_ann_recall(spark, sf_dir):
+    """IVF (adaptive quantizer) must hold high recall even on
+    near-isotropic embeddings; hyperplane LSH is kept as the cheap
+    baseline but its recall on isotropic data is inherently weak."""
+    from hermes_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+
+    ivf = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=6).collect()
+    iv = {(r.query_id, r.neighbor_id) for r in ivf}
+    ivf_recall = len(ex & iv) / len(ex)
+    assert ivf_recall >= 0.7, f"IVF recall {ivf_recall}"
+
+    lsh = lsh_topk(emb, queries, dim=64, k=5).collect()
+    lp = {(r.query_id, r.neighbor_id) for r in lsh}
+    assert len(ex & lp) / len(ex) >= 0.1  # sanity floor for the baseline
+
+
+def test_rolling_hash_deterministic(spark, sf_dir):
+    from hermes_spark.functions.text import rolling_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    a = d.select("doc_id", rolling_hash(F.col("text")).alias("h")).collect()
+    b = d.select("doc_id", rolling_hash(F.col("text")).alias("h")).collect()
+    assert sorted((r.doc_id, r.h) for r in a) == sorted((r.doc_id, r.h) for r in b)
+    assert len({r.h for r in a}) == len(a)  # distinct texts → distinct hashes
+
+
+def test_multimodal_features_and_frame_plan(spark):
+    from hermes_spark.functions.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic stub: same payload → same features
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+    plan = frame_sample_plan(media, every_ms=500)
+    p = plan.groupBy("media_id").count().collect()
+    assert len(p) == 10  # one third are videos
+    assert all(r["count"] >= 1 for r in p)

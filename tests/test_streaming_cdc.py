@@ -151,3 +151,22 @@ def test_bucketed_equals_per_conv_state(spark, tmp_work, batches):
     ta = a.target_live().select("conv_id", "turn_idx", "text", "cksum", "op")
     tb = b.target_live().select("conv_id", "turn_idx", "text", "cksum", "op")
     assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
+
+
+def test_delivery_order_independence(spark, tmp_work, batches):
+    """Final target state must not depend on micro-batch grouping or
+    cross-batch delivery order (last-writer-by-event-time semantics);
+    regression: file-listing order used to leak into the target."""
+    _, pdfs = batches
+    fwd = os.path.join(tmp_work, "fwd")
+    rev = os.path.join(tmp_work, "rev")
+    _write_batches(spark, pdfs, fwd)
+    _write_batches(spark, list(reversed(pdfs)), rev)
+
+    a = CdcPipeline(spark, fwd, os.path.join(tmp_work, "runf"))
+    a.run_available()
+    b = CdcPipeline(spark, rev, os.path.join(tmp_work, "runr"))
+    b.run_available()
+    ta = a.target_live().select("conv_id", "turn_idx", "text")
+    tb = b.target_live().select("conv_id", "turn_idx", "text")
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
