@@ -1,0 +1,177 @@
+"""JVM-only CDC classification: micro-batch MERGE-join against the
+target table (which doubles as the state store).
+
+This is the reference's *literal* model — diff the incoming snapshot
+against the cache (/root/reference/lib/datamodel/dataobjectlist.py:
+294-322) — expressed as one whole-stage-codegen join per micro-batch,
+with zero Python in the hot path.  It exists alongside the
+``applyInPandasWithState`` classifier (streaming/cdc.py) as the
+bandwidth-lean alternative: the stateful operator round-trips its full
+state through Arrow/Python every batch, while this mode's state reads
+are columnar parquet scans that never leave the JVM.
+
+Semantics are identical (last-writer-by-event-time, stale suppression,
+tombstone memory) — the equivalence test drives both pipelines over
+the same reordered input and asserts identical live state.
+
+Trade-off at scale: per batch this joins against the *folded* table
+(O(table) read with column pruning to key+ts+cks), where the state
+store is O(touched keys).  With Iceberg the join side prunes to the
+partitions the batch touches; the right mode depends on the
+active-key/table ratio — which is why the engine ships both.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from hermes_spark.schema import TRANSCRIPT_SCHEMA
+from hermes_spark.streaming.cdc import with_content_cksum
+from hermes_spark.tables import ParquetMergeTable
+
+_NEG_INF = -(1 << 62)
+
+# target-as-state schema: live rows + remembered tombstones (op delete)
+JOIN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("cksum", T.StringType(), True),
+        T.StructField("cks64", T.LongType(), True),
+    ]
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _rank(ts_col, tomb_col, cks_col):
+    """Last-writer rank (ts_us, cks-or--inf) — identical tie rules to
+    streaming/cdc.py::_apply_batch."""
+    return F.struct(
+        F.unix_micros(ts_col).alias("r_ts"),
+        F.when(tomb_col, F.lit(_NEG_INF)).otherwise(cks_col).alias("r_ck"),
+    )
+
+
+class JoinCdcSink:
+    """foreachBatch body: dedupe-in-batch → classify via join → write
+    delta (tombstones retained as op='delete' rows = state memory)."""
+
+    def __init__(self, target: ParquetMergeTable) -> None:
+        self.target = target
+
+    def __call__(self, turns: DataFrame, batch_id: int) -> None:
+        if batch_id in self.target.committed_batch_ids():
+            return
+        b = with_content_cksum(turns)
+        tomb = F.col("text").isNull()
+        b = b.withColumn("_tomb", tomb).withColumn(
+            "_rank", _rank(F.col("ts"), F.col("_tomb"), F.col("cks64"))
+        )
+        # in-batch last-writer per key
+        payload = [c for c in b.columns if c not in KEY]
+        b = (
+            b.groupBy(*KEY)
+            .agg(F.max_by(F.struct(*payload), F.col("_rank")).alias("_w"))
+            .select(*KEY, "_w.*")
+        )
+
+        # state = current table rows (live + tombstones), pruned columns
+        state = self.target.read().select(
+            F.col("conv_id").alias("s_conv_id"),
+            F.col("turn_idx").alias("s_turn_idx"),
+            F.col("op").alias("s_op"),
+            F.col("ts").alias("s_ts"),
+            F.col("cks64").alias("s_cks64"),
+        )
+        j = b.join(
+            state,
+            (F.col("conv_id") == F.col("s_conv_id"))
+            & (F.col("turn_idx") == F.col("s_turn_idx")),
+            "left_outer",
+        )
+        s_exists = F.col("s_op").isNotNull()
+        s_live = s_exists & (F.col("s_op") != "delete")
+        s_rank = _rank(F.col("s_ts"), F.col("s_op") == "delete", F.col("s_cks64"))
+        fresh = ~s_exists | (F.col("_rank") > s_rank)
+
+        op = (
+            F.when(F.col("_tomb") & s_live, F.lit("delete"))
+            .when(F.col("_tomb"), F.lit("delete"))          # ghost tombstone (state memory)
+            .when(~s_live, F.lit("insert"))                  # absent or tombstoned → (re)insert
+            .when(F.col("cks64") != F.col("s_cks64"), F.lit("update"))
+            .otherwise(F.coalesce(F.col("s_op"), F.lit("insert")))  # content unchanged → advance ts, keep op
+        )
+        out = (
+            j.where(fresh)
+            .select(
+                *KEY,
+                op.alias("op"),
+                "role", "text", "tool", "ts", "cksum", "cks64",
+            )
+        )
+        # MERGE: every classified row (incl. tombstones) lands as the
+        # key's new state version; nothing is physically dropped here —
+        # live vs deleted is a view predicate, purged on compaction+retention.
+        self.target.merge(out, batch_id=batch_id)
+
+
+@dataclass
+class JoinCdcPipeline:
+    """Same contract as CdcPipeline, JVM-only classification."""
+
+    spark: SparkSession
+    source_dir: str
+    work_dir: str
+    max_files_per_trigger: int | None = None
+
+    def __post_init__(self) -> None:
+        self.checkpoint = os.path.join(self.work_dir, "checkpoint")
+        self.target = ParquetMergeTable(
+            self.spark,
+            os.path.join(self.work_dir, "target"),
+            key=KEY,
+            schema=JOIN_STATE_SCHEMA,
+            tombstone_mode="retain",
+        )
+        self.sink = JoinCdcSink(self.target)
+
+    def source(self) -> DataFrame:
+        reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.source_dir)
+
+    def start(self) -> StreamingQuery:
+        return (
+            self.source()
+            .writeStream.foreachBatch(self.sink)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("append")
+            .start()
+        )
+
+    def run_available(self) -> None:
+        q = self.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
+
+    def target_live(self) -> DataFrame:
+        return self.target.read().where(F.col("op") != "delete")

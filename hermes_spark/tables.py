@@ -60,12 +60,17 @@ class ParquetMergeTable:
         key: Sequence[str],
         schema: T.StructType,
         compact_every: int = 8,
+        tombstone_mode: str = "drop",
     ) -> None:
         self.spark = spark
         self.path = path
         self.key = list(key)
         self.schema = schema
         self.compact_every = compact_every
+        # "drop": op='delete' rows vanish on read/compaction (plain
+        # target).  "retain": tombstone rows survive as state memory
+        # (target-as-state mode; purge via retention policy).
+        self.tombstone_mode = tombstone_mode
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
 
     # -- commit log ---------------------------------------------------
@@ -122,9 +127,12 @@ class ParquetMergeTable:
 
     # -- read ----------------------------------------------------------
 
-    def read(self, op_col: str = "op") -> DataFrame:
-        """Current state: base ⊎ deltas, latest-per-key wins, op delete
-        drops the key (the merge-on-read reconstruction)."""
+    def read(self, op_col: str | None = "op") -> DataFrame:
+        """Current state: base ⊎ deltas, latest-per-key wins; op delete
+        drops the key unless tombstone_mode='retain' (the merge-on-read
+        reconstruction)."""
+        if self.tombstone_mode == "retain":
+            op_col = "__retained__"
         base, deltas = self._live_commits()
         fields = [f.name for f in self.schema.fields]
         if base is None and not deltas:

@@ -170,3 +170,29 @@ def test_delivery_order_independence(spark, tmp_work, batches):
     ta = a.target_live().select("conv_id", "turn_idx", "text")
     tb = b.target_live().select("conv_id", "turn_idx", "text")
     assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
+
+
+def test_join_mode_equals_stateful_mode(spark, tmp_work, batches):
+    """JVM-only join classification (target-as-state) must produce the
+    same live state as the applyInPandasWithState classifier, including
+    under reversed delivery order."""
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+    _, pdfs = batches
+    src = os.path.join(tmp_work, "src")
+    rev = os.path.join(tmp_work, "rev")
+    _write_batches(spark, pdfs, src)
+    _write_batches(spark, list(reversed(pdfs)), rev)
+
+    a = CdcPipeline(spark, src, os.path.join(tmp_work, "stateful"))
+    a.run_available()
+    b = JoinCdcPipeline(spark, src, os.path.join(tmp_work, "joinmode"))
+    b.run_available()
+    c = JoinCdcPipeline(spark, rev, os.path.join(tmp_work, "joinrev"))
+    c.run_available()
+
+    ta = a.target_live().select("conv_id", "turn_idx", "text", "cksum")
+    tb = b.target_live().select("conv_id", "turn_idx", "text", "cksum")
+    tc = c.target_live().select("conv_id", "turn_idx", "text", "cksum")
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
+    assert tb.exceptAll(tc).count() == 0 and tc.exceptAll(tb).count() == 0
