@@ -89,10 +89,21 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
     t0 = time.monotonic()
     pipe.run_available()
     wall = time.monotonic() - t0
+
+    # JVM-only classify mode on the same input (streaming/cdc_join.py)
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+    jpipe = JoinCdcPipeline(spark, src, os.path.join(work, "join_run"),
+                            max_files_per_trigger=64)
+    t0 = time.monotonic()
+    jpipe.run_available()
+    jwall = time.monotonic() - t0
     return {
         "cdc_turns": float(total_turns),
         "cdc_wall_sec": round(wall, 3),
         "cdc_turns_per_sec": round(total_turns / wall, 1),
+        "cdc_join_wall_sec": round(jwall, 3),
+        "cdc_join_turns_per_sec": round(total_turns / jwall, 1),
     }
 
 

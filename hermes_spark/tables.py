@@ -36,7 +36,7 @@ import tempfile
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -61,6 +61,7 @@ class ParquetMergeTable:
         schema: T.StructType,
         compact_every: int = 8,
         tombstone_mode: str = "drop",
+        tombstone_retention: str | None = None,  # SQL interval, e.g. "30 days"
     ) -> None:
         self.spark = spark
         self.path = path
@@ -71,6 +72,9 @@ class ParquetMergeTable:
         # target).  "retain": tombstone rows survive as state memory
         # (target-as-state mode; purge via retention policy).
         self.tombstone_mode = tombstone_mode
+        # event-time retention for retained tombstones: on compaction,
+        # delete-rows older than (max event ts - interval) are purged
+        self.tombstone_retention = tombstone_retention
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
 
     # -- commit log ---------------------------------------------------
@@ -218,10 +222,35 @@ class ParquetMergeTable:
             json.dump(commits, f)
         os.replace(tmp, self._commits_path)
 
-    def compact(self) -> None:
+    def compact(self, tombstone_retention: Column | None = None) -> None:
         """Fold base + deltas into a fresh base snapshot (Iceberg
-        rewrite-data-files maintenance analog)."""
+        rewrite-data-files maintenance analog).
+
+        ``tombstone_retention``: in retain mode, a timestamp Column
+        cutoff — tombstone rows (op='delete') whose ts predates it are
+        physically purged here (the trashbin retention expiry, W4:
+        reference clients/__init__.py:757-813), bounding state-table
+        growth from ghost/expired deletes."""
         current = self.read()
+        if (
+            self.tombstone_mode == "retain"
+            and tombstone_retention is None
+            and self.tombstone_retention is not None
+            and "ts" in [f.name for f in self.schema.fields]
+        ):
+            horizon = current.agg(F.max("ts")).collect()[0][0]
+            if horizon is not None:
+                tombstone_retention = F.lit(horizon) - F.expr(
+                    f"INTERVAL {self.tombstone_retention}"
+                )
+        if (
+            self.tombstone_mode == "retain"
+            and tombstone_retention is not None
+            and "op" in [f.name for f in self.schema.fields]
+        ):
+            current = current.where(
+                (F.col("op") != "delete") | (F.col("ts") >= tombstone_retention)
+            )
         v = (self.current_version() or 0) + 1
         current.select([f.name for f in self.schema.fields]).write.mode(
             "overwrite"

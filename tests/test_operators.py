@@ -185,3 +185,32 @@ def test_soft_delete_recycle_purge(spark):
     t3 = apply_soft_deletes(t2, changes.where(F.col("op") == "delete"), ["k"])
     kept = purge_expired(t3, F.lit("2026-02-01").cast("timestamp"))
     assert {r.k for r in kept.collect()} == {"b", "c"}  # a's tombstone expired
+
+
+def test_tombstone_retention_purge_on_compaction(spark, tmp_work):
+    """Retained tombstones expire on compaction past the event-time
+    retention horizon (W4 streaming analog)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.streaming.cdc_join import JOIN_STATE_SCHEMA
+    from hermes_spark.tables import ParquetMergeTable
+
+    t = ParquetMergeTable(
+        spark, f"{tmp_work}/tt", key=["conv_id", "turn_idx"],
+        schema=JOIN_STATE_SCHEMA, tombstone_mode="retain",
+        tombstone_retention="1 days",
+    )
+    rows = spark.createDataFrame(
+        [
+            ("c", 0, "insert", "user", "x", None, "2026-01-10 00:00:00", "s", 1),
+            ("c", 1, "delete", None, None, None, "2026-01-01 00:00:00", None, 2),  # old tombstone
+            ("c", 2, "delete", None, None, None, "2026-01-09 23:00:00", None, 3),  # recent tombstone
+        ],
+        "conv_id string, turn_idx int, op string, role string, text string,"
+        " tool string, ts string, cksum string, cks64 long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.merge(rows, batch_id=0)
+    assert t.read().count() == 3  # all retained pre-compaction
+    t.compact()
+    kept = {(r.turn_idx, r.op) for r in t.read().collect()}
+    assert kept == {(0, "insert"), (2, "delete")}  # old tombstone purged
