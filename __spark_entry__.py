@@ -241,6 +241,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregate (engine breadth: grouping sets; NULL = total)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+            .cast("long")
+            .alias("v_x1e6"),
+        )
+    )
+
+
+def q_orphan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential orphans via anti-join (O2 set-difference): orders
+    whose customer was withheld."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    orders = _t(spark, sf_dir, "orders")
+    from hermes_spark.operators.integrity import fk_filter
+
+    orphans = fk_filter(orders, cust, [("o_custkey", "c_custkey")], keep_if_exists=False)
+    return orphans.select("o_orderkey", "o_custkey")
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per market segment (rank window)."""
     from pyspark.sql import Window as W
@@ -498,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tumbling_hourly": q_tumbling_hourly,
         "range_join": q_range_join,
+        "rollup_hourly": q_rollup_hourly,
+        "orphan_anti_join": q_orphan_anti_join,
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "star_join": q_star_join,
@@ -672,6 +699,17 @@ def oracle_sql() -> dict[str, str]:
               FROM clicks c JOIN buys b ON c.user_id = b.b_user
                    AND b.b_ts > c.c_ts AND b.b_ts <= c.c_ts + INTERVAL 1 HOUR
             ) WHERE rn = 1
+        """,
+        "rollup_hourly": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_x1e6
+            FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "orphan_anti_join": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 10 <> 0)
         """,
         "topk_per_group": """
             SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
