@@ -241,6 +241,28 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle reconciliation: digest-compare two derived snapshots of
+    events (per user_id) and localize divergence."""
+    from hermes_spark.operators.reconcile import reconcile
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+    )
+    # target: drop users %7==0, corrupt event_type of events %11==0
+    tgt = ev.where(F.col("conv_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 11 == 0, F.concat(F.col("text"), F.lit("_x")))
+        .otherwise(F.col("text")),
+    )
+    return reconcile(ev, tgt).select(
+        F.col("conv_id").cast("long").alias("user_id"), "status",
+        "src_n_turns", "tgt_n_turns",
+    )
+
+
 def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregate (engine breadth: grouping sets; NULL = total)."""
     ev = _t(spark, sf_dir, "events")
@@ -523,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "tumbling_hourly": q_tumbling_hourly,
         "range_join": q_range_join,
+        "reconcile": q_reconcile,
         "rollup_hourly": q_rollup_hourly,
         "orphan_anti_join": q_orphan_anti_join,
         "topk_per_group": q_topk_per_group,
@@ -699,6 +722,36 @@ def oracle_sql() -> dict[str, str]:
               FROM clicks c JOIN buys b ON c.user_id = b.b_user
                    AND b.b_ts > c.c_ts AND b.b_ts <= c.c_ts + INTERVAL 1 HOUR
             ) WHERE rn = 1
+        """,
+        "reconcile": """
+            WITH src AS (
+              SELECT user_id AS conv_id, CAST(event_id AS INT) AS turn_idx,
+                     event_type AS text
+              FROM events
+            ), tgt AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN turn_idx % 11 = 0 THEN text || '_x' ELSE text END AS text
+              FROM src WHERE conv_id % 7 <> 0
+            ), sd AS (
+              SELECT conv_id,
+                     sha256(string_agg(lpad(CAST(turn_idx AS VARCHAR),10,'0') || ':' || sha256(COALESCE(text, chr(0))), chr(31)
+                            ORDER BY lpad(CAST(turn_idx AS VARCHAR),10,'0') || ':' || sha256(COALESCE(text, chr(0))))) AS ck,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM src GROUP BY conv_id
+            ), td AS (
+              SELECT conv_id,
+                     sha256(string_agg(lpad(CAST(turn_idx AS VARCHAR),10,'0') || ':' || sha256(COALESCE(text, chr(0))), chr(31)
+                            ORDER BY lpad(CAST(turn_idx AS VARCHAR),10,'0') || ':' || sha256(COALESCE(text, chr(0))))) AS ck,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM tgt GROUP BY conv_id
+            )
+            SELECT COALESCE(sd.conv_id, td.conv_id) AS user_id,
+                   CASE WHEN td.conv_id IS NULL THEN 'missing_in_target'
+                        WHEN sd.conv_id IS NULL THEN 'extra_in_target'
+                        WHEN sd.ck <> td.ck THEN 'mismatch' END AS status,
+                   sd.n AS src_n_turns, td.n AS tgt_n_turns
+            FROM sd FULL OUTER JOIN td ON sd.conv_id = td.conv_id
+            WHERE (td.conv_id IS NULL OR sd.conv_id IS NULL OR sd.ck <> td.ck)
         """,
         "rollup_hourly": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
