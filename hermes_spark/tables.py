@@ -136,7 +136,7 @@ class ParquetMergeTable:
         drops the key unless tombstone_mode='retain' (the merge-on-read
         reconstruction)."""
         if self.tombstone_mode == "retain":
-            op_col = "__retained__"
+            op_col = None  # tombstone rows are kept as state memory
         base, deltas = self._live_commits()
         fields = [f.name for f in self.schema.fields]
         if base is None and not deltas:
@@ -151,15 +151,18 @@ class ParquetMergeTable:
                 .withColumn("_del", F.lit(False))
             )
         for i, d in enumerate(deltas):
+            extra_op = (d.get("info") or {}).get("op_col")
+            raw = self.spark.read.parquet(self._version_dir(d["version"]))
+            if extra_op and op_col is not None and op_col not in fields:
+                dele = F.col(extra_op) == "delete"
+            elif op_col in fields:
+                dele = F.col(op_col) == "delete"
+            else:
+                dele = F.lit(False)
             parts.append(
-                self.spark.read.schema(self.schema)
-                .parquet(self._version_dir(d["version"]))
-                .select(*fields)
-                .withColumn("_seq", F.lit(i + 1))
-                .withColumn(
-                    "_del",
-                    F.col(op_col) == "delete" if op_col in fields else F.lit(False),
-                )
+                raw.withColumn("_seq", F.lit(i + 1))
+                .withColumn("_del", dele)
+                .select(*fields, "_seq", "_del")
             )
         allrows = parts[0]
         for p in parts[1:]:
@@ -201,10 +204,19 @@ class ParquetMergeTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return False
         v = (self.current_version() or 0) + 1
-        changes.select([f.name for f in self.schema.fields]).write.mode(
-            "overwrite"
-        ).parquet(self._version_dir(v))
-        self._append_commit(v, batch_id, kind="delta", info=commit_info)
+        fields = [f.name for f in self.schema.fields]
+        write_cols = list(fields)
+        info = dict(commit_info or {})
+        # the op column must reach the delta even when the target schema
+        # doesn't carry it — otherwise deletes silently degrade to
+        # upserts of the tombstone payload at read time
+        if op_col in changes.columns and op_col not in fields:
+            write_cols.append(op_col)
+            info["op_col"] = op_col
+        changes.select(write_cols).write.mode("overwrite").parquet(
+            self._version_dir(v)
+        )
+        self._append_commit(v, batch_id, kind="delta", info=info or None)
         _, deltas = self._live_commits()
         if len(deltas) >= self.compact_every:
             self.compact()

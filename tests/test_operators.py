@@ -214,3 +214,27 @@ def test_tombstone_retention_purge_on_compaction(spark, tmp_work):
     t.compact()
     kept = {(r.turn_idx, r.op) for r in t.read().collect()}
     assert kept == {(0, "insert"), (2, "delete")}  # old tombstone purged
+
+
+def test_merge_deletes_without_op_in_schema(spark, tmp_work):
+    """A target whose schema lacks 'op' must still honor deletes in the
+    change feed (regression: op column was dropped from deltas, turning
+    deletes into upserts)."""
+    from hermes_spark.tables import ParquetMergeTable
+
+    schema = spark.createDataFrame([(1, "a")], "id int, v string").schema
+    t = ParquetMergeTable(spark, f"{tmp_work}/nop", key=["id"], schema=schema)
+    t.merge(
+        spark.createDataFrame([(1, "a", "insert"), (2, "b", "insert")],
+                              "id int, v string, op string"),
+        batch_id=0,
+    )
+    assert t.read().count() == 2
+    t.merge(
+        spark.createDataFrame([(1, None, "delete")], "id int, v string, op string"),
+        batch_id=1,
+    )
+    rows = t.read().collect()
+    assert [(r.id, r.v) for r in rows] == [(2, "b")]
+    t.compact()
+    assert [(r.id, r.v) for r in t.read().collect()] == [(2, "b")]
