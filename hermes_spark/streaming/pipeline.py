@@ -21,6 +21,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hermes_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
@@ -86,3 +87,38 @@ class CdcPipeline:
         """Current target table state (all rows are live; deletes were
         applied as physical removes by the MERGE)."""
         return self.target.read()
+
+    # -- sibling windowed-snapshot queries over the change stream -------
+
+    def windowed_snapshots(
+        self, kind: str = "tumbling", duration: str = "1 hour",
+        gap: str = "30 minutes",
+    ) -> DataFrame:
+        """Tumbling or session windowed conversation-snapshot digests
+        over the *classified change stream* (watermarked) — the
+        north-rule 'reconstructing ordered conversation snapshots'
+        queries, runnable as sibling streaming queries sharing the
+        source."""
+        from hermes_spark.operators.windows import (
+            session_snapshots,
+            tumbling_snapshots,
+        )
+
+        changes = self.changes().where(F.col("op") != "delete")
+        if kind == "tumbling":
+            return tumbling_snapshots(changes, duration=duration)
+        if kind == "session":
+            return session_snapshots(changes, gap=gap)
+        raise ValueError(f"unknown window kind {kind!r}")
+
+    def start_windowed(
+        self, out_dir: str, kind: str = "tumbling", **kw
+    ) -> StreamingQuery:
+        return (
+            self.windowed_snapshots(kind=kind, **kw)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", out_dir + "_ck")
+            .outputMode("append")
+            .start()
+        )

