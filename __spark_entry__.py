@@ -23,7 +23,18 @@ SEP = "\x1f"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a testdata table, normalizing any TIMESTAMP_NTZ column to
+    TIMESTAMP so every query below is session-config-independent (the
+    driver's default session infers parquet naive timestamps as NTZ,
+    which `unix_micros`/`F.window` reject)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    casts = [
+        F.col(f.name).cast("timestamp").alias(f.name)
+        if f.dataType.typeName() == "timestamp_ntz"
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(casts)
 
 
 # ---------------------------------------------------------------------------

@@ -104,7 +104,15 @@ class CdcPipeline:
             tumbling_snapshots,
         )
 
-        changes = self.changes().where(F.col("op") != "delete")
+        # applyInPandasWithState output carries no watermark; re-apply it
+        # so the downstream windowed agg can emit finalized windows in
+        # append mode (without this, start_windowed raises
+        # STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION).
+        changes = (
+            self.changes()
+            .where(F.col("op") != "delete")
+            .withWatermark("ts", self.watermark)
+        )
         if kind == "tumbling":
             return tumbling_snapshots(changes, duration=duration)
         if kind == "session":

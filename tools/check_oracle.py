@@ -66,9 +66,18 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from hermes_spark import build_session
+    from pyspark.sql import SparkSession
 
-    spark = build_session("check_oracle", master="local[8]", shuffle_partitions=8)
+    # Deliberately a PLAIN session (no hermes_spark.build_session config):
+    # the driver runs queries() under Spark defaults, so the local gate
+    # must too — notably parquet NTZ inference stays ON here.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
