@@ -46,6 +46,11 @@ class CdcPipeline:
             os.path.join(self.work_dir, "target"),
             key=["conv_id", "turn_idx"],
             schema=CHANGE_EVENT_SCHEMA,
+            # compaction is out-of-band for the streaming hot path: the
+            # sink commit stays O(batch) with no periodic full-table
+            # rewrite inside foreachBatch (call target.compact() from a
+            # maintenance job, exactly like Iceberg rewrite_data_files)
+            compact_every=None,
         )
         self.sink = ExactlyOnceSink(self.target)
 

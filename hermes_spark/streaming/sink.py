@@ -107,9 +107,10 @@ class ExactlyOnceSink:
             F.sum((F.col("op") == "delete").cast("long")).alias("deletes"),
         )
         committed = self.target.merge(changes=observed, batch_id=batch_id)
-        if committed:
+        if committed is not None:
             got = obs.get
-            self.target.annotate_last_commit(
+            self.target.annotate_commit(
+                committed,
                 {
                     "rows": got["rows"],
                     "inserts": got["inserts"] or 0,

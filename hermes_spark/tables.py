@@ -59,7 +59,7 @@ class ParquetMergeTable:
         path: str,
         key: Sequence[str],
         schema: T.StructType,
-        compact_every: int = 8,
+        compact_every: int | None = 8,
         tombstone_mode: str = "drop",
         tombstone_retention: str | None = None,  # SQL interval, e.g. "30 days"
     ) -> None:
@@ -78,17 +78,60 @@ class ParquetMergeTable:
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
 
     # -- commit log ---------------------------------------------------
+    #
+    # Append-only JSONL (WAL discipline): each commit is ONE appended
+    # line — O(1) per commit instead of rewriting the whole array
+    # (round 1's O(n²) driver bytes over a long stream).  A torn final
+    # line from a crash mid-append fails to parse and is ignored, so
+    # readers only ever see complete commits.  Metrics/lineage attach
+    # as separate ``annotate`` records keyed by version, folded in at
+    # read time — annotation never rewrites history and always lands on
+    # the intended commit even if a compaction committed in between.
 
     @property
     def _commits_path(self) -> str:
-        return os.path.join(self.path, "_commits.json")
+        return os.path.join(self.path, "_commits.jsonl")
+
+    def _read_log(self) -> list[dict]:
+        try:
+            size = os.path.getsize(self._commits_path)
+        except FileNotFoundError:
+            self._log_cache = (0, [])
+            return []
+        cached = getattr(self, "_log_cache", None)
+        if cached is not None and cached[0] == size:
+            return cached[1]
+        records: list[dict] = []
+        with open(self._commits_path) as f:
+            for line in f:
+                try:
+                    records.append(json.loads(line))
+                except json.JSONDecodeError:
+                    break  # torn tail from a crash mid-append — ignore
+        self._log_cache = (size, records)
+        return records
 
     def _read_commits(self) -> list[dict]:
-        try:
-            with open(self._commits_path) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return []
+        commits: list[dict] = []
+        by_version: dict[int, dict] = {}
+        for r in self._read_log():
+            if r.get("kind") == "annotate":
+                c = by_version.get(r["version"])
+                if c is not None:
+                    c["info"] = {**c.get("info", {}), **r.get("info", {})}
+                continue
+            c = dict(r)
+            commits.append(c)
+            by_version[c["version"]] = c
+        return commits
+
+    def _append_record(self, record: dict) -> None:
+        line = json.dumps(record, separators=(",", ":")) + "\n"
+        with open(self._commits_path, "a") as f:
+            f.write(line)
+        cached = getattr(self, "_log_cache", None)
+        if cached is not None:
+            self._log_cache = (cached[0] + len(line), [*cached[1], record])
 
     def _append_commit(
         self,
@@ -97,15 +140,10 @@ class ParquetMergeTable:
         kind: str = "base",
         info: dict | None = None,
     ) -> None:
-        commits = self._read_commits()
         entry = {"version": version, "batch_id": batch_id, "kind": kind}
         if info:
             entry["info"] = info
-        commits.append(entry)
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(commits, f)
-        os.replace(tmp, self._commits_path)  # atomic pointer swap
+        self._append_record(entry)
 
     def committed_batch_ids(self) -> set:
         return {c["batch_id"] for c in self._read_commits() if c["batch_id"] is not None}
@@ -191,18 +229,19 @@ class ParquetMergeTable:
         batch_id: int | str | None = None,
         op_col: str = "op",
         commit_info: dict | None = None,
-    ) -> bool:
+    ) -> int | None:
         """MERGE INTO this table USING changes ON pkey.
 
         ``changes``: key cols + op (insert|update|delete) + payload
         cols matching the table schema, at most one row per key.  Rows
         with op delete remove the key; insert/update upsert.  Returns
-        False when the batch_id was already committed (idempotent
-        replay no-op).  O(batch): writes one delta snapshot; compaction
-        folds deltas into a new base every ``compact_every`` commits.
-        """
+        the committed delta version, or None when the batch_id was
+        already committed (idempotent replay no-op).  O(batch): writes
+        one delta snapshot; when ``compact_every`` is set, deltas fold
+        into a new base every that many commits (pass None to keep
+        compaction fully out-of-band — the streaming hot path does)."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
-            return False
+            return None
         v = (self.current_version() or 0) + 1
         fields = [f.name for f in self.schema.fields]
         write_cols = list(fields)
@@ -217,22 +256,21 @@ class ParquetMergeTable:
             self._version_dir(v)
         )
         self._append_commit(v, batch_id, kind="delta", info=info or None)
-        _, deltas = self._live_commits()
-        if len(deltas) >= self.compact_every:
-            self.compact()
-        return True
+        if self.compact_every is not None:
+            _, deltas = self._live_commits()
+            if len(deltas) >= self.compact_every:
+                self.compact()
+        return v
+
+    def annotate_commit(self, version: int, info: dict) -> None:
+        """Attach metrics/lineage info to a specific commit (one
+        appended annotate record — no Spark job, no log rewrite)."""
+        self._append_record({"kind": "annotate", "version": version, "info": info})
 
     def annotate_last_commit(self, info: dict) -> None:
-        """Attach metrics/lineage info to the most recent commit entry
-        (atomic rewrite of the pointer file — no Spark job)."""
         commits = self._read_commits()
-        if not commits:
-            return
-        commits[-1]["info"] = {**commits[-1].get("info", {}), **info}
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(commits, f)
-        os.replace(tmp, self._commits_path)
+        if commits:
+            self.annotate_commit(commits[-1]["version"], info)
 
     def compact(self, tombstone_retention: Column | None = None) -> None:
         """Fold base + deltas into a fresh base snapshot (Iceberg
