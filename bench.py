@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import shutil
 import sys
 import time
@@ -85,7 +86,8 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
 
     # 64 files per append → 8 genuine micro-batches (sustained cadence,
     # not one mega-batch)
-    pipe = CdcPipeline(spark, src, os.path.join(work, "run"), max_files_per_trigger=64)
+    pipe = CdcPipeline(spark, src, os.path.join(work, "run"), max_files_per_trigger=64,
+                       n_buckets=64)
     t0 = time.monotonic()
     pipe.run_available()
     wall = time.monotonic() - t0
@@ -112,12 +114,18 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from hermes_spark import build_session
 
+    # scratch (shuffle files, RocksDB working dirs, checkpoints) on
+    # tmpfs when available: profiled round 2, the single shared disk is
+    # a non-scaling resource that pollutes the parallelism measurement
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    extra = {"spark.local.dir": os.path.join(shm, "hermes-spark-local")}
     spark = build_session(
-        "hermes_spark_bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        "hermes_spark_bench", master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus), extra_conf=extra,
     )
     try:
         queries = bench_queries(spark, sf_dir)
-        work = f"/tmp/hermes-bench-{os.getpid()}"
+        work = os.path.join(shm, f"hermes-bench-{os.getpid()}")
         os.makedirs(work, exist_ok=True)
         try:
             cdc = bench_streaming_cdc(spark, work, CDC_BENCH_TURNS)

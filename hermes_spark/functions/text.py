@@ -100,19 +100,66 @@ def normalized_fingerprint(col: str | Column = "text") -> Column:
 
 @F.pandas_udf(T.LongType())
 def rolling_hash(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash mod 2^61-1 (Arrow-vectorized batch; the
-    per-char loop runs in numpy per batch, not per row in Python)."""
+    """Polynomial rolling hash mod 2^61-1, genuinely vectorized: the
+    Arrow string buffer is read zero-copy (no per-row Python, no
+    per-row encode), rows are packed length-sorted into a byte matrix,
+    and Horner's rule runs column-wise in numpy uint64 with split-
+    multiply Mersenne reduction (2^61 ≡ 1 mod M).  This is the scale
+    exemplar for the crypto-scalar plugin pattern (F3/F4, reference
+    plugins/attributes/*): per Arrow batch, Python executes O(max_len)
+    numpy calls — never O(rows × bytes) interpreter steps."""
     import numpy as np
+    import pyarrow as pa
 
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    M = np.uint64((1 << 61) - 1)
+    B = np.uint64(1_000_003)
+    U32M = np.uint64(0xFFFFFFFF)
+    S32, S29, S61 = np.uint64(32), np.uint64(29), np.uint64(61)
+    M29 = np.uint64((1 << 29) - 1)
 
-    def h(s: str) -> int:
-        if s is None:
-            return 0
-        acc = 0
-        for b in s.encode("utf-8"):
-            acc = (acc * BASE + b) % MOD
-        return acc - (1 << 62) if acc >= (1 << 61) else acc
+    arr = pa.Array.from_pandas(texts)
+    n = len(arr)
+    if n == 0:
+        return pd.Series(np.empty(0, np.int64))
+    if not isinstance(arr, (pa.StringArray, pa.LargeStringArray)):
+        arr = arr.cast(pa.string())
+    # zero-copy views of the Arrow layout: offsets + utf-8 data buffer
+    odt = np.int64 if isinstance(arr, pa.LargeStringArray) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt, count=n + 1 + arr.offset)
+    off = off[arr.offset:].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    valid = np.ones(n, dtype=bool)
+    if arr.null_count:
+        valid = np.array(arr.is_valid(), dtype=bool)
+        lens = np.where(valid, lens, 0)
 
-    return texts.map(h).astype("int64")
+    maxlen = int(lens.max()) if n else 0
+    acc = np.zeros(n, dtype=np.uint64)
+    if maxlen:
+        # rows sorted by length desc → the active set per column is a
+        # prefix, so each Horner step is a dense slice (no masks)
+        order = np.argsort(-lens, kind="stable")
+        lens_s = lens[order]
+        total = int(lens_s.sum())
+        row_ids = np.repeat(np.arange(n), lens_s)
+        col_ids = np.arange(total) - np.repeat(np.cumsum(lens_s) - lens_s, lens_s)
+        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        flat_src = np.repeat(off[:-1][order], lens_s) + col_ids
+        mat[row_ids, col_ids] = data[flat_src]
+        # rows with length > j, per column j (lens_s descending)
+        ks = np.searchsorted(-lens_s, -np.arange(1, maxlen + 1), side="right")
+        a = np.zeros(n, dtype=np.uint64)
+        for j in range(maxlen):
+            k = int(ks[j])
+            v = a[:k]
+            lo = v & U32M
+            hi = v >> S32
+            t = hi * B
+            # t·2^32 mod M via 2^61 ≡ 1:  t = t1·2^29 + t0
+            v = (t >> S29) + ((t & M29) << S32) + lo * B + mat[:k, j]
+            a[:k] = (v >> S61) + (v & M)
+        a = np.where(a >= M, a - M, a)
+        acc[order] = a
+    acc[~valid] = 0
+    return pd.Series(acc.astype(np.int64))

@@ -103,3 +103,23 @@ def merge_sources(
     else:
         merged = all_rows.drop("_conflict")
     return MergeResult(merged, conflicts)
+
+
+def substitute_cached(
+    merged: DataFrame,
+    conflicts: DataFrame,
+    cache: DataFrame,
+    key: Sequence[str],
+) -> DataFrame:
+    """``replaceInconsistenciesByCachedValues`` (reference
+    lib/datamodel/dataobjectlist.py:332-352, applied at
+    server/datamodel.py:643-645): every key quarantined for merge
+    conflict / duplicate inconsistency is replaced by its CACHED row
+    when one exists; conflicted keys absent from the cache stay
+    dropped.  Two pkey joins (anti + semi) — broadcast-able when the
+    conflict set is small, which it is by construction (conflicts are
+    the pathological minority)."""
+    key = list(key)
+    clean = merged.join(conflicts, key, "left_anti")
+    subs = cache.join(conflicts, key, "left_semi")
+    return clean.unionByName(subs.select(*merged.columns))

@@ -25,7 +25,8 @@ excluded from events — as select-lists, not row logic.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -52,9 +53,24 @@ def apply_mapping(df: DataFrame, mapping: MappingSpec) -> DataFrame:
     return df.select(*[c.alias(a) for a, c in cols.items()])
 
 
+def _plan_references(df: DataFrame, expr: str) -> set[str]:
+    """Attribute names an expression actually references, from the
+    ANALYZED plan (Catalyst's resolution, not string matching)."""
+    probe = df.select(F.expr(expr))
+    refs = probe._jdf.queryExecution().analyzed().references()
+    it = refs.iterator()
+    names: set[str] = set()
+    while it.hasNext():
+        names.add(it.next().name())
+    return names
+
+
 def required_columns(df: DataFrame, mapping: MappingSpec) -> set[str]:
-    """Input columns the mapping reads (the P2 var-extraction analog):
-    resolved against df's schema by intersecting expression references."""
+    """Input columns the mapping reads (the P2 var-extraction analog,
+    reference lib/datamodel/jinja.py:92-231): expression specs are
+    resolved by Catalyst and their analyzed-plan attribute references
+    collected — the projection-pushdown input, with no false positives
+    from substring matching."""
     needed: set[str] = set()
     available = set(df.columns)
     for spec in mapping.values():
@@ -63,14 +79,54 @@ def required_columns(df: DataFrame, mapping: MappingSpec) -> set[str]:
         elif isinstance(spec, list):
             needed.update(spec)
         elif isinstance(spec, dict) and "expr" in spec:
-            # let Catalyst resolve: project the single expression and
-            # collect the attribute references from the analyzed plan
-            probe = df.select(F.expr(spec["expr"]))  # type: ignore[arg-type]
-            for f_ in probe.schema.fields:
-                pass  # schema resolution validates the expr
-            # conservative textual fallback: any df column named in expr
-            needed.update(c for c in available if c in str(spec["expr"]))
+            needed.update(_plan_references(df, spec["expr"]))  # type: ignore[arg-type]
     return needed & available
+
+
+@dataclass
+class LocalTypeSpec:
+    """One local type a remote event fans out to: its attr mapping
+    (same spec language as ``apply_mapping``) and whether events whose
+    mapped payload is entirely NULL should still be emitted."""
+
+    name: str
+    mapping: MappingSpec
+    allow_empty: bool = False
+
+
+def fanout_events(
+    events: DataFrame,
+    types: Sequence[LocalTypeSpec],
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    passthrough: Sequence[str] = ("ts",),
+) -> dict[str, DataFrame]:
+    """One remote change event → N local-type events (the reference's
+    ``convertEventToLocal``, /root/reference/clients/datamodel.py:
+    497-621: every local type mapped from the remote type re-renders
+    the event through its own attrsmapping).
+
+    Per local type: key + op + passthrough columns survive unchanged,
+    payload is re-projected through the type's mapping, and events
+    whose mapped payload has no content are dropped — except deletes,
+    which always pass (the reference emits removed events regardless
+    of content, datamodel.py:608).  Pure projections: N narrow
+    DataFrames over one scan, no shuffle, no Python."""
+    out: dict[str, DataFrame] = {}
+    base = [F.col(c) for c in [*key_cols, op_col, *passthrough]]
+    for t in types:
+        cols = compile_mapping(t.mapping)
+        has_content = F.lit(False)
+        for c in cols.values():
+            has_content = has_content | c.isNotNull()
+        keep = (
+            F.lit(True) if t.allow_empty
+            else (F.col(op_col) == "delete") | has_content
+        )
+        out[t.name] = events.where(keep).select(
+            *base, *[c.alias(a) for a, c in cols.items()]
+        )
+    return out
 
 
 @dataclass

@@ -87,8 +87,12 @@ class JoinCdcSink:
             .select(*KEY, "_w.*")
         )
 
-        # state = current table rows (live + tombstones), pruned columns
-        state = self.target.read().select(
+        # state = current table rows (live + tombstones); the fold is
+        # pruned to (key, op, ts, cks64) so the state scan never decodes
+        # text/role/tool — the wide payload stays on disk
+        state = self.target.read(
+            columns=["conv_id", "turn_idx", "op", "ts", "cks64"]
+        ).select(
             F.col("conv_id").alias("s_conv_id"),
             F.col("turn_idx").alias("s_turn_idx"),
             F.col("op").alias("s_op"),
@@ -107,8 +111,11 @@ class JoinCdcSink:
         fresh = ~s_exists | (F.col("_rank") > s_rank)
 
         op = (
-            F.when(F.col("_tomb") & s_live, F.lit("delete"))
-            .when(F.col("_tomb"), F.lit("delete"))          # ghost tombstone (state memory)
+            # a fresh tombstone is recorded as op=delete whether the key
+            # was live or a ghost (never-seen / already-deleted): retained
+            # tombstones ARE the state memory, so both cases land
+            # identically and the live view drops them
+            F.when(F.col("_tomb"), F.lit("delete"))
             .when(~s_live, F.lit("insert"))                  # absent or tombstoned → (re)insert
             .when(F.col("cks64") != F.col("s_cks64"), F.lit("update"))
             .otherwise(F.coalesce(F.col("s_op"), F.lit("insert")))  # content unchanged → advance ts, keep op

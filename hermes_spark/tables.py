@@ -92,46 +92,66 @@ class ParquetMergeTable:
     def _commits_path(self) -> str:
         return os.path.join(self.path, "_commits.jsonl")
 
-    def _read_log(self) -> list[dict]:
+    def _fold(self) -> dict:
+        """Incrementally-maintained view of the log: O(1) amortized per
+        append / per read (the single-writer invariant makes the
+        size-tagged cache exact; an external append invalidates it).
+        The long-stream test pins this flatness down."""
         try:
             size = os.path.getsize(self._commits_path)
         except FileNotFoundError:
-            self._log_cache = (0, [])
-            return []
-        cached = getattr(self, "_log_cache", None)
-        if cached is not None and cached[0] == size:
-            return cached[1]
-        records: list[dict] = []
-        with open(self._commits_path) as f:
-            for line in f:
-                try:
-                    records.append(json.loads(line))
-                except json.JSONDecodeError:
-                    break  # torn tail from a crash mid-append — ignore
-        self._log_cache = (size, records)
-        return records
+            size = 0
+        cache = getattr(self, "_fold_cache", None)
+        if cache is not None and cache["size"] == size:
+            return cache
+        cache = {
+            "size": size,
+            "records": [],
+            "commits": [],
+            "by_version": {},
+            "batch_ids": set(),
+        }
+        if size:
+            with open(self._commits_path) as f:
+                for line in f:
+                    try:
+                        r = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail from a crash mid-append — ignore
+                    self._fold_one(cache, r)
+        self._fold_cache = cache
+        return cache
+
+    @staticmethod
+    def _fold_one(cache: dict, r: dict) -> None:
+        cache["records"].append(r)
+        kind = r.get("kind", "base")
+        if kind == "annotate":
+            c = cache["by_version"].get(r["version"])
+            if c is not None:
+                c["info"] = {**c.get("info", {}), **r.get("info", {})}
+            return
+        if kind not in ("base", "delta"):
+            return  # audit records (e.g. migrate/purge/step) are not commits
+        c = dict(r)
+        cache["commits"].append(c)
+        cache["by_version"][c["version"]] = c
+        if c.get("batch_id") is not None:
+            cache["batch_ids"].add(c["batch_id"])
+
+    def _read_log(self) -> list[dict]:
+        return self._fold()["records"]
 
     def _read_commits(self) -> list[dict]:
-        commits: list[dict] = []
-        by_version: dict[int, dict] = {}
-        for r in self._read_log():
-            if r.get("kind") == "annotate":
-                c = by_version.get(r["version"])
-                if c is not None:
-                    c["info"] = {**c.get("info", {}), **r.get("info", {})}
-                continue
-            c = dict(r)
-            commits.append(c)
-            by_version[c["version"]] = c
-        return commits
+        return self._fold()["commits"]
 
     def _append_record(self, record: dict) -> None:
+        cache = self._fold()
         line = json.dumps(record, separators=(",", ":")) + "\n"
         with open(self._commits_path, "a") as f:
             f.write(line)
-        cached = getattr(self, "_log_cache", None)
-        if cached is not None:
-            self._log_cache = (cached[0] + len(line), [*cached[1], record])
+        cache["size"] += len(line)
+        self._fold_one(cache, record)
 
     def _append_commit(
         self,
@@ -146,7 +166,7 @@ class ParquetMergeTable:
         self._append_record(entry)
 
     def committed_batch_ids(self) -> set:
-        return {c["batch_id"] for c in self._read_commits() if c["batch_id"] is not None}
+        return self._fold()["batch_ids"]
 
     def current_version(self) -> int | None:
         commits = self._read_commits()
@@ -169,14 +189,29 @@ class ParquetMergeTable:
 
     # -- read ----------------------------------------------------------
 
-    def read(self, op_col: str | None = "op") -> DataFrame:
+    def read(
+        self, op_col: str | None = "op", columns: Sequence[str] | None = None
+    ) -> DataFrame:
         """Current state: base ⊎ deltas, latest-per-key wins; op delete
         drops the key unless tombstone_mode='retain' (the merge-on-read
-        reconstruction)."""
+        reconstruction).
+
+        ``columns``: prune the fold to these columns (must include the
+        key) — the per-key max_by struct then carries only them, so the
+        parquet scans never decode the wide payload (join-mode CDC
+        reads state as (key, op, ts, cks64) without touching text)."""
         if self.tombstone_mode == "retain":
             op_col = None  # tombstone rows are kept as state memory
         base, deltas = self._live_commits()
         fields = [f.name for f in self.schema.fields]
+        if columns is not None:
+            missing = [k for k in self.key if k not in columns]
+            if missing:
+                raise ValueError(f"columns must include the key; missing {missing}")
+            keep = set(columns)
+            if op_col is not None and op_col in fields:
+                keep.add(op_col)  # delete detection must survive pruning
+            fields = [c for c in fields if c in keep]
         if base is None and not deltas:
             return self.spark.createDataFrame([], self.schema)
         parts = []
@@ -306,6 +341,63 @@ class ParquetMergeTable:
             "overwrite"
         ).parquet(self._version_dir(v))
         self._append_commit(v, None, kind="base")
+
+    def migrate_key(
+        self,
+        new_key: Sequence[str],
+        transform,
+        new_schema: T.StructType,
+    ) -> None:
+        """Live primary-key migration (the reference's dataschema
+        update path: pkey changes incl. int↔tuple are applied to the
+        cache and trashbin without a resync —
+        /root/reference/server/hermesserver.py:340-443 and
+        tests/functional/test_scenario_01_single_datasource.py:863-1229).
+
+        ``transform``: DataFrame → DataFrame computing the new key
+        columns from the old row (row identity is preserved — every
+        live row and retained tombstone is re-keyed, never dropped).
+        Commits one new base snapshot plus a ``migrate`` audit record;
+        the batch-id ledger survives, so replays of pre-migration
+        micro-batches stay no-ops (exactly-once across the migration)."""
+        current = self.read(op_col=None)  # keep tombstones: state memory migrates too
+        migrated = transform(current)
+        old_key = list(self.key)
+        self.key = list(new_key)
+        self.schema = new_schema
+        v = (self.current_version() or 0) + 1
+        migrated.select([f.name for f in new_schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(self._version_dir(v))
+        self._append_commit(v, None, kind="base")
+        self._append_record(
+            {"kind": "migrate", "version": v,
+             "info": {"old_key": old_key, "new_key": list(new_key)}}
+        )
+
+    def purge_columns(self, cols: Sequence[str]) -> None:
+        """Purge columns from the cached snapshot (the reference's
+        "attribute became SECRET ⇒ remove its values from the cache"
+        schema-change path, /root/reference/server/hermesserver.py:
+        411-429): rewrites one new base without the columns and
+        narrows the table schema; history snapshots are superseded, so
+        a subsequent compaction/gc leaves no trace of the values."""
+        cols = set(cols)
+        bad = cols & set(self.key)
+        if bad:
+            raise ValueError(f"cannot purge key columns {sorted(bad)}")
+        current = self.read(op_col=None)
+        self.schema = T.StructType(
+            [f for f in self.schema.fields if f.name not in cols]
+        )
+        v = (self.current_version() or 0) + 1
+        current.select([f.name for f in self.schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(self._version_dir(v))
+        self._append_commit(v, None, kind="base")
+        self._append_record(
+            {"kind": "purge", "version": v, "info": {"columns": sorted(cols)}}
+        )
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

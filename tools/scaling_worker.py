@@ -10,6 +10,7 @@ Prints one JSON line: {"master", "turns", "wall_sec", "tps"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,11 +20,38 @@ from hermes_spark.streaming.pipeline import CdcPipeline
 
 def main() -> None:
     src, work, nshuffle = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    spark = build_session("hermes_scaling", master="inherit", shuffle_partitions=nshuffle)
+    extra = {}
+    elog = os.environ.get("HERMES_EVENTLOG_DIR")
+    if elog:
+        os.makedirs(elog, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": elog}
+    spark = build_session(
+        "hermes_scaling", master="inherit", shuffle_partitions=nshuffle,
+        extra_conf=extra,
+    )
     total = spark.read.parquet(src).count()
-    pipe = CdcPipeline(spark, src, work, max_files_per_trigger=64)
+    n_buckets = int(os.environ.get("HERMES_N_BUCKETS", "0")) or None
+    mft = int(os.environ.get("HERMES_FILES_PER_TRIGGER", "64"))
+    pipe = CdcPipeline(
+        spark, src, work, max_files_per_trigger=mft,
+        **({"n_buckets": n_buckets} if n_buckets else {}),
+    )
     t0 = time.monotonic()
-    pipe.run_available()
+    q = pipe.start()
+    q.processAllAvailable()
+    progress = [
+        {
+            "batch": p.batchId,
+            **{k: int(v) for k, v in p.durationMs.items()},
+            "rows": int(p.numInputRows),
+        }
+        for p in q.recentProgress
+    ]
+    q.stop()
+    try:
+        q.awaitTermination(30)
+    except Exception:
+        pass
     wall = time.monotonic() - t0
     out_rows = pipe.target_live().count()
     print(
@@ -35,6 +63,7 @@ def main() -> None:
                 "target_rows": out_rows,
                 "wall_sec": round(wall, 2),
                 "tps": round(total / wall, 1),
+                "batches": progress,
             }
         )
     )
