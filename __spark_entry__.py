@@ -361,6 +361,27 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregate (F.window, 1 hour / slide 30 min) —
+    each event lands in exactly two overlapping windows; the oracle
+    enumerates Spark's epoch-aligned window starts arithmetically."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+            .cast("long")
+            .alias("v_x1e6"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"), "event_type", "n", "v_x1e6"
+        )
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 correlation analog on events: first purchase within 1h after
     each click, per user (the tool-call↔response pattern)."""
@@ -699,12 +720,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only BY NECESSITY: the media payloads are synthesized
-    binary blobs and the decode step is an honest declared stub (no
-    PIL/ffmpeg in this sandbox) — there is nothing content-wise for a
-    SQL oracle to recompute.  What this entry proves is the Spark-side
-    plumbing: binary column + typed metadata struct through
-    mapInPandas Arrow batches with a stable output schema."""
+    """Multimodal plumbing with a real oracle on the checkable part:
+    n_bytes is computed in the Python worker from the ACTUAL binary
+    payload after the binary-column → Arrow → pandas round trip, and
+    the synthetic payload length is formulaic — so the oracle verifies
+    payload integrity through the multimodal path end-to-end.  The
+    decode itself stays an honest declared stub (no PIL/ffmpeg in this
+    sandbox); the 16-float fake features are exercised by pytest, not
+    the oracle."""
     from hermes_spark.functions.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, n=64)).select(
@@ -780,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trashbin_retention": q_trashbin_retention,
         "sessionize": q_sessionize,
         "tumbling_hourly": q_tumbling_hourly,
+        "sliding_hourly": q_sliding_hourly,
         "range_join": q_range_join,
         "reconcile": q_reconcile,
         "rollup_hourly": q_rollup_hourly,
@@ -983,6 +1007,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_x1e6
             FROM events GROUP BY 1, 2
         """,
+        "sliding_hourly": """
+            WITH ev AS (
+              SELECT epoch_us(ts) AS tus, event_type, value FROM events
+            ), expl AS (
+              SELECT (CAST(floor(tus / 1800000000) AS BIGINT) - o) * 1800000000 AS win_us,
+                     event_type, value
+              FROM ev, (VALUES (0), (1)) t(o)
+            )
+            SELECT win_us, event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_x1e6
+            FROM expl GROUP BY 1, 2
+        """,
         "range_join": """
             WITH clicks AS (
               SELECT user_id, event_id AS click_id, ts AS c_ts FROM events WHERE event_type = 'click'
@@ -1172,6 +1208,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_60pct
             FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "multimodal_features": """
+            SELECT i AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(64 + (i % 5) * 32 AS INT) AS n_bytes
+            FROM range(0, 64) t(i)
         """,
         "rolling_fingerprint": """
             SELECT doc_id,

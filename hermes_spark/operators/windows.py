@@ -59,6 +59,35 @@ def tumbling_snapshots(
     )
 
 
+def sliding_snapshots(
+    turns: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (sliding window, conv_id) snapshot digest: each turn lands
+    in duration/slide overlapping windows (F.window with a slide) —
+    the third window family the north rule names.  Same digest
+    aggregate as tumbling, so the streaming twin shares the plan."""
+    return (
+        turns.withColumn("_leaf", turn_leaf())
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide).alias("win"),
+            F.col("conv_id"),
+        )
+        .agg(*_snapshot_aggs())
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+            "first_turn",
+            "last_turn",
+            "conv_cksum",
+        )
+    )
+
+
 def session_snapshots(
     turns: DataFrame,
     gap: str = "30 minutes",

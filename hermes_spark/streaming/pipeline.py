@@ -97,7 +97,7 @@ class CdcPipeline:
 
     def windowed_snapshots(
         self, kind: str = "tumbling", duration: str = "1 hour",
-        gap: str = "30 minutes",
+        gap: str = "30 minutes", slide: str = "30 minutes",
     ) -> DataFrame:
         """Tumbling or session windowed conversation-snapshot digests
         over the *classified change stream* (watermarked) — the
@@ -106,6 +106,7 @@ class CdcPipeline:
         source."""
         from hermes_spark.operators.windows import (
             session_snapshots,
+            sliding_snapshots,
             tumbling_snapshots,
         )
 
@@ -120,6 +121,8 @@ class CdcPipeline:
         )
         if kind == "tumbling":
             return tumbling_snapshots(changes, duration=duration)
+        if kind == "sliding":
+            return sliding_snapshots(changes, duration=duration, slide=slide)
         if kind == "session":
             return session_snapshots(changes, gap=gap)
         raise ValueError(f"unknown window kind {kind!r}")

@@ -154,3 +154,46 @@ def test_pipeline_windowed_snapshots_over_change_stream(spark, stream_src, tmp_w
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert {"window_start", "conv_id", "n_turns", "conv_cksum"} <= set(got.columns)
+
+
+def test_pipeline_sliding_snapshots_over_change_stream(spark, stream_src, tmp_work):
+    """Sliding-window snapshot digests (1h window / 30min slide) over
+    the classified change stream: every emitted event must appear in
+    exactly duration/slide = 2 overlapping windows, and the per-window
+    digests must equal a batch recomputation of the same operator."""
+    import os as _os
+
+    from hermes_spark.operators.windows import sliding_snapshots
+    from hermes_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(spark, stream_src, _os.path.join(tmp_work, "swq"),
+                       watermark="0 seconds")
+    out = _os.path.join(tmp_work, "slide_out")
+    q = pipe.start_windowed(out, kind="sliding", duration="1 hour",
+                            slide="30 minutes")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    # stream_src is inserts-only, so the classified change stream equals
+    # the raw turns — batch-recompute the same operator over the source
+    changes = spark.read.parquet(stream_src)
+    want = sliding_snapshots(changes, duration="1 hour", slide="30 minutes")
+    got_rows = {
+        (r["window_start"], r["conv_id"]): (r["n_turns"], r["conv_cksum"])
+        for r in got.collect()
+    }
+    want_rows = {
+        (r["window_start"], r["conv_id"]): (r["n_turns"], r["conv_cksum"])
+        for r in want.collect()
+    }
+    # streaming emits only finalized windows; every emitted window must
+    # match the batch recomputation exactly
+    assert got_rows
+    for k, v in got_rows.items():
+        assert want_rows.get(k) == v, k
+    # sliding property: total (window, conv, turn) memberships = 2x turns
+    n_turns_total = changes.count()
+    member_total = got.agg(F.sum("n_turns")).collect()[0][0] or 0
+    assert member_total <= 2 * n_turns_total
