@@ -60,13 +60,43 @@ class DeadLetterQueue:
     def read(self) -> DataFrame:
         return self.table.read()
 
-    def enqueue(self, failed: DataFrame, autoremediate: bool = True) -> None:
+    def enqueue(
+        self,
+        failed: DataFrame,
+        autoremediate: bool = True,
+        field_level: bool = False,
+        prior: DataFrame | None = None,
+    ) -> None:
         """Append failed events; when a key already has queued events,
-        compact the key's whole run to one effective event."""
+        compact the key's whole run to one effective event.
+
+        ``field_level=True`` applies the reference's FULL ``_mergeEvents``
+        semantics (errorqueue.py:187-417) instead of the op truth table:
+        the payload schema must carry the four map columns
+        (attrs, added, modified, removed), and ``prior`` (key → cached
+        flat attrs map) finalizes removed+added runs into modified-diff
+        events exactly like the reference reads its cache."""
         cur = self.read()
         fields = [f.name for f in self.table.schema.fields]
         merged = cur.unionByName(failed.select(*fields))
-        if autoremediate:
+        if autoremediate and field_level:
+            from hermes_spark.operators.eventmerge import compact_events_map
+
+            # accept CDC op vocabulary too (insert/update/delete)
+            tr = merged.withColumn(
+                "op",
+                F.when(F.col("op") == "insert", F.lit("added"))
+                .when(F.col("op") == "update", F.lit("modified"))
+                .when(F.col("op") == "delete", F.lit("removed"))
+                .otherwise(F.col("op")),
+            )
+            folded = compact_events_map(
+                tr, self.key, offset_col="offset", prior=prior
+            )
+            merged = folded.withColumn("err", F.lit(None).cast("string")).select(
+                *[c for c in fields]
+            )
+        elif autoremediate:
             payload_cols = [
                 c for c in fields if c not in (*self.key, "offset", "op")
             ]

@@ -254,3 +254,51 @@ def test_pairwise_reference_table_explicit(spark):
         "modified", {}, {"a1": "2", "mail": "m2"}, {}, {"cn": "x"},
     )
     assert got["p5"] == ("removed", {}, {}, {}, {})
+
+
+def test_dlq_field_level_autoremediation(spark, tmp_work):
+    """DeadLetterQueue.enqueue(field_level=True): a queued added event
+    and a late-arriving modified event for the same key fold into ONE
+    added event with field-merged attrs (ref errorqueue.py:237-252)."""
+    from hermes_spark.streaming.errorqueue import DeadLetterQueue
+
+    payload = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("attrs", MAPT, True),
+            T.StructField("added", MAPT, True),
+            T.StructField("modified", MAPT, True),
+            T.StructField("removed", MAPT, True),
+        ]
+    )
+    dlq = DeadLetterQueue(spark, tmp_work + "/dlq", key=["k"], payload_schema=payload)
+    q_schema = T.StructType(
+        list(payload.fields)
+        + [
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("err", T.StringType(), True),
+        ]
+    )
+    first = spark.createDataFrame(
+        [("x", {"cn": "a", "mail": "m"}, None, None, None, 1, "added", "boom")],
+        q_schema,
+    )
+    dlq.enqueue(first, field_level=True)
+    second = spark.createDataFrame(
+        [("x", None, {"uid": "7"}, {"cn": "b"}, {"mail": "m"}, 2, "modified", "boom2")],
+        q_schema,
+    )
+    dlq.enqueue(second, field_level=True)
+
+    rows = dlq.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["op"] == "added" and dict(r["attrs"]) == {"cn": "b", "uid": "7"}
+
+    # added + removed annihilates: the key leaves the queue entirely
+    third = spark.createDataFrame(
+        [("x", None, None, None, None, 3, "removed", "boom3")], q_schema
+    )
+    dlq.enqueue(third, field_level=True)
+    assert dlq.read().count() == 0
