@@ -32,10 +32,15 @@ def main() -> None:
     total = spark.read.parquet(src).count()
     n_buckets = int(os.environ.get("HERMES_N_BUCKETS", "0")) or None
     mft = int(os.environ.get("HERMES_FILES_PER_TRIGGER", "64"))
-    pipe = CdcPipeline(
-        spark, src, work, max_files_per_trigger=mft,
-        **({"n_buckets": n_buckets} if n_buckets else {}),
-    )
+    if os.environ.get("HERMES_MODE") == "join":
+        from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+        pipe = JoinCdcPipeline(spark, src, work, max_files_per_trigger=mft)
+    else:
+        pipe = CdcPipeline(
+            spark, src, work, max_files_per_trigger=mft,
+            **({"n_buckets": n_buckets} if n_buckets else {}),
+        )
     t0 = time.monotonic()
     q = pipe.start()
     q.processAllAvailable()
