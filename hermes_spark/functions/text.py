@@ -134,32 +134,51 @@ def rolling_hash(texts: pd.Series) -> pd.Series:
         valid = np.array(arr.is_valid(), dtype=bool)
         lens = np.where(valid, lens, 0)
 
-    maxlen = int(lens.max()) if n else 0
     acc = np.zeros(n, dtype=np.uint64)
-    if maxlen:
+    if int(lens.max() if n else 0):
         # rows sorted by length desc → the active set per column is a
-        # prefix, so each Horner step is a dense slice (no masks)
+        # prefix, so each Horner step is a dense slice (no masks).
+        # Packing is LENGTH-TIERED: each tier's matrix is allocated at
+        # its own max length and capped at _TIER_BUDGET bytes, so memory
+        # stays O(total bytes + budget) even when one huge document
+        # shares a batch with thousands of short rows (skewed transcript
+        # corpora would otherwise OOM the worker on rows × max_len).
         order = np.argsort(-lens, kind="stable")
         lens_s = lens[order]
-        total = int(lens_s.sum())
-        row_ids = np.repeat(np.arange(n), lens_s)
-        col_ids = np.arange(total) - np.repeat(np.cumsum(lens_s) - lens_s, lens_s)
-        mat = np.zeros((n, maxlen), dtype=np.uint8)
-        flat_src = np.repeat(off[:-1][order], lens_s) + col_ids
-        mat[row_ids, col_ids] = data[flat_src]
-        # rows with length > j, per column j (lens_s descending)
-        ks = np.searchsorted(-lens_s, -np.arange(1, maxlen + 1), side="right")
-        a = np.zeros(n, dtype=np.uint64)
-        for j in range(maxlen):
-            k = int(ks[j])
-            v = a[:k]
-            lo = v & U32M
-            hi = v >> S32
-            t = hi * B
-            # t·2^32 mod M via 2^61 ≡ 1:  t = t1·2^29 + t0
-            v = (t >> S29) + ((t & M29) << S32) + lo * B + mat[:k, j]
-            a[:k] = (v >> S61) + (v & M)
-        a = np.where(a >= M, a - M, a)
-        acc[order] = a
+        offs_s = off[:-1][order]
+        a_all = np.zeros(n, dtype=np.uint64)
+        BUDGET = 1 << 26  # 64 MiB matrix cap per tier
+        start = 0
+        while start < n and lens_s[start] > 0:
+            L = int(lens_s[start])
+            cap = max(1, BUDGET // L)
+            stop = min(n, start + cap)
+            # exclude zero-length rows from the tier
+            stop = start + int(
+                np.searchsorted(-lens_s[start:stop], 0, side="left")
+            )
+            l = lens_s[start:stop]
+            m = stop - start
+            total = int(l.sum())
+            row_ids = np.repeat(np.arange(m), l)
+            col_ids = np.arange(total) - np.repeat(np.cumsum(l) - l, l)
+            mat = np.zeros((m, L), dtype=np.uint8)
+            flat_src = np.repeat(offs_s[start:stop], l) + col_ids
+            mat[row_ids, col_ids] = data[flat_src]
+            # rows with length > j, per column j (l descending)
+            ks = np.searchsorted(-l, -np.arange(1, L + 1), side="right")
+            a = np.zeros(m, dtype=np.uint64)
+            for j in range(L):
+                k = int(ks[j])
+                v = a[:k]
+                lo = v & U32M
+                hi = v >> S32
+                t = hi * B
+                # t·2^32 mod M via 2^61 ≡ 1:  t = t1·2^29 + t0
+                v = (t >> S29) + ((t & M29) << S32) + lo * B + mat[:k, j]
+                a[:k] = (v >> S61) + (v & M)
+            a_all[start:stop] = np.where(a >= M, a - M, a)
+            start = stop
+        acc[order] = a_all
     acc[~valid] = 0
     return pd.Series(acc.astype(np.int64))

@@ -75,7 +75,7 @@ STATE_SCHEMA = T.StructType(
 # bucketed state: every conversation of the bucket, dict-encoded
 BUCKET_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("uconvs", T.BinaryType(), True),  # \x1f-joined conv ids
+        T.StructField("uconvs", T.BinaryType(), True),  # length-prefixed conv ids
         T.StructField("keys", T.BinaryType(), True),    # int64[] = conv_ix<<32|turn
         T.StructField("ts_us", T.BinaryType(), True),   # int64[]
         T.StructField("cks", T.BinaryType(), True),     # int64[]
@@ -109,6 +109,31 @@ def _unpack_mask(blob: bytes | None, n: int) -> np.ndarray:
     if not blob or n == 0:
         return np.zeros(n, dtype=bool)
     return np.unpackbits(np.frombuffer(blob, dtype=np.uint8), count=n).astype(bool)
+
+
+def _pack_convs(uconvs: list) -> bytes:
+    """Length-prefixed conv-id table: u32 count, u32 byte-lengths,
+    concatenated utf-8.  Content-safe — a conv id may contain ANY
+    character (a separator-joined encoding would silently re-key every
+    subsequent conversation if an id contained the separator)."""
+    bs = [c.encode("utf-8") for c in uconvs]
+    lens = np.array([len(b) for b in bs], dtype="<u4")
+    return (
+        np.uint32(len(bs)).tobytes() + lens.tobytes() + b"".join(bs)
+    )
+
+
+def _unpack_convs(blob: bytes | None) -> list:
+    if not blob:
+        return []
+    n = int(np.frombuffer(blob[:4], dtype="<u4")[0])
+    lens = np.frombuffer(blob[4 : 4 + 4 * n], dtype="<u4")
+    data = blob[4 + 4 * n :]
+    out, p = [], 0
+    for ln in lens:
+        out.append(data[p : p + ln].decode("utf-8"))
+        p += int(ln)
+    return out
 
 
 def _classify_core(
@@ -180,6 +205,18 @@ def _classify_core(
     return w, opc, True, (k_n, ts_n, cks_n, tomb_n)
 
 
+def _drop_null_ts(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Rows with a null event time have no last-writer rank — they are
+    explicitly dropped here (TRANSCRIPT_SCHEMA declares ts non-null,
+    but Spark file sources do not enforce user-schema nullability at
+    runtime).  Without this, NaT → int64 min would sort below the
+    'key absent' sentinel and the row would be silently swallowed."""
+    mask = pdf["ts"].notna()
+    if bool(mask.all()):
+        return pdf
+    return pdf[mask.to_numpy()].reset_index(drop=True)
+
+
 def _batch_arrays(pdf: pd.DataFrame):
     ti = pdf["turn_idx"].to_numpy(dtype=np.int64)
     ts = pdf["ts"].to_numpy()
@@ -230,6 +267,7 @@ def _classify_group(
 
     chunks = list(pdfs)
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    pdf = _drop_null_ts(pdf)
     ti, ts, ts_us, cks, tomb = _batch_arrays(pdf)
 
     w, opc, changed, (k_n, ts_n, cks_n, tomb_n) = _classify_core(
@@ -260,7 +298,7 @@ def _classify_bucket(
     the int64 composite key), so per-turn state is 25 bytes flat."""
     if state.exists:
         uconvs_b, keys_b, ts_b, cks_b, tomb_b = state.get
-        uconvs = uconvs_b.decode("utf-8").split("\x1f") if uconvs_b else []
+        uconvs = _unpack_convs(uconvs_b)
         k_s = _unpack(keys_b)
         ts_s, cks_s = _unpack(ts_b), _unpack(cks_b)
         tomb_s = _unpack_mask(tomb_b, len(k_s))
@@ -273,7 +311,13 @@ def _classify_bucket(
 
     chunks = list(pdfs)
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    pdf = _drop_null_ts(pdf)
     ti, ts, ts_us, cks, tomb = _batch_arrays(pdf)
+    if len(ti) and (int(ti.min()) < 0 or int(ti.max()) >= 1 << 32):
+        raise ValueError(
+            "turn_idx out of [0, 2^32) — cannot pack into the int64 "
+            "composite state key"
+        )
 
     # dict-encode conv ids: python only over the batch's UNIQUE convs
     codes, uniques = pd.factorize(pdf["conv_id"].to_numpy(dtype=object))
@@ -293,7 +337,7 @@ def _classify_bucket(
     if changed:
         state.update(
             (
-                "\x1f".join(uconvs).encode("utf-8"),
+                _pack_convs(uconvs),
                 k_n.astype(_I64).tobytes(),
                 ts_n.astype(_I64).tobytes(),
                 cks_n.astype(_I64).tobytes(),

@@ -145,7 +145,39 @@ class ParquetMergeTable:
     def _read_commits(self) -> list[dict]:
         return self._fold()["commits"]
 
+    def _repair_log(self) -> None:
+        """Crash-recovery before appending: if the log does not end in
+        a newline (torn tail from a crash mid-append), truncate back to
+        the last complete newline-terminated record.  Without this, the
+        next append would concatenate onto the fragment and every
+        record from that point on would be unparseable — replayed
+        micro-batches would re-commit and version numbers would be
+        reused.  O(1) in the common case (single trailing-byte check)."""
+        try:
+            f = open(self._commits_path, "rb+")
+        except FileNotFoundError:
+            return
+        with f:
+            size = f.seek(0, os.SEEK_END)
+            if size == 0:
+                return
+            f.seek(size - 1)
+            if f.read(1) == b"\n":
+                return
+            # scan backwards for the last complete record boundary
+            last_nl, pos, chunk = -1, size, 1 << 16
+            while pos > 0 and last_nl < 0:
+                start = max(0, pos - chunk)
+                f.seek(start)
+                idx = f.read(pos - start).rfind(b"\n")
+                if idx >= 0:
+                    last_nl = start + idx
+                pos = start
+            f.truncate(last_nl + 1 if last_nl >= 0 else 0)
+        self._fold_cache = None
+
     def _append_record(self, record: dict) -> None:
+        self._repair_log()
         cache = self._fold()
         line = json.dumps(record, separators=(",", ":")) + "\n"
         with open(self._commits_path, "a") as f:

@@ -110,21 +110,24 @@ def main() -> None:
             if ceil and ours:
                 rel[pair] = round(ours / ceil, 3)
         result["steady_state_efficiency_vs_host_ceiling"] = rel
+    # "pass" is bound STRICTLY to the stated raw criterion over BOTH
+    # N→4N pairs — no cherry-picking of the best pair or of the
+    # self-defined ceiling-relative metrics.  The host-ceiling argument
+    # is reported separately as pass_vs_host_ceiling so a reader sees
+    # both verdicts explicitly and can adjudicate.
     e = result["scaling_efficiency_e2e"]
-    candidates = [v for v in e.values() if v is not None]
-    candidates += [
-        v for v in result["scaling_efficiency_steady_state"].values()
-        if isinstance(v, (int, float))
-    ]
-    candidates += list(result.get("steady_state_efficiency_vs_host_ceiling", {}).values())
-    result["pass"] = any(v >= 0.8 for v in candidates)
-    result["pass_basis"] = (
-        "steady-state efficiency relative to the host's pure-CPU ceiling "
-        "(the VM's hypervisor steal grows with runnable threads; raw ≥0.8 "
-        "is unreachable for ANY workload here — see host_ceiling_probe.reg)"
-        if result["pass"] and not any(
-            v is not None and v >= 0.8 for v in e.values()
-        ) else "raw end-to-end"
+    raw_pairs = [v for v in e.values() if v is not None]
+    result["pass"] = bool(raw_pairs) and all(v >= 0.8 for v in raw_pairs)
+    rel = result.get("steady_state_efficiency_vs_host_ceiling", {})
+    rel_pairs = [v for v in rel.values() if v is not None]
+    result["pass_vs_host_ceiling"] = bool(rel_pairs) and all(
+        v >= 0.8 for v in rel_pairs
+    )
+    result["pass_vs_host_ceiling_basis"] = (
+        "steady-state per-batch efficiency divided by the host's "
+        "pure-register multiprocess ceiling for the same core pair "
+        "(hypervisor steal grows with runnable vCPUs on this VM — see "
+        "host_ceiling_probe.reg); both pairs must clear 0.8"
     )
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as f:
