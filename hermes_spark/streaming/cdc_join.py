@@ -14,11 +14,16 @@ Semantics are identical (last-writer-by-event-time, stale suppression,
 tombstone memory) — the equivalence test drives both pipelines over
 the same reordered input and asserts identical live state.
 
-Trade-off at scale: per batch this joins against the *folded* table
-(O(table) read with column pruning to key+ts+cks), where the state
-store is O(touched keys).  With Iceberg the join side prunes to the
-partitions the batch touches; the right mode depends on the
-active-key/table ratio — which is why the engine ships both.
+Scale model: the target is hive-partitioned on a hash bucket of
+conv_id (Iceberg ``bucket(N, conv_id)`` partition-spec analog) and
+writes hash-distribute on the bucket (write.distribution-mode=hash →
+~1 file per bucket per delta, no tiny-file explosion).  Per
+micro-batch the state read prunes to the buckets the batch touches
+(file-level pruning) AND to the (key, op, ts, cks64) columns (the
+wide payload stays on disk) — read amplification is O(touched state),
+not O(table).  Compaction is out-of-band (``maintain()``), keeping
+the foreachBatch commit O(batch): one classify-join + one MERGE, no
+periodic full-table rewrite in the hot path.
 """
 
 from __future__ import annotations
@@ -54,6 +59,18 @@ JOIN_STATE_SCHEMA = T.StructType(
 
 KEY = ["conv_id", "turn_idx"]
 
+# bucket-partitioned target: JOIN_STATE_SCHEMA plus the hash-bucket
+# partition column — a micro-batch reads ONLY the buckets it touches
+# (Iceberg bucket-partition-spec analog), so per-batch state read
+# amplification is O(state of touched buckets), not O(table)
+JOIN_TARGET_SCHEMA = T.StructType(
+    [*JOIN_STATE_SCHEMA.fields, T.StructField("_bucket", T.IntegerType(), False)]
+)
+
+
+def bucket_of(conv_col, n_buckets: int):
+    return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets)).cast("int")
+
 
 def _rank(ts_col, tomb_col, cks_col):
     """Last-writer rank (ts_us, cks-or--inf) — identical tie rules to
@@ -66,10 +83,26 @@ def _rank(ts_col, tomb_col, cks_col):
 
 class JoinCdcSink:
     """foreachBatch body: dedupe-in-batch → classify via join → write
-    delta (tombstones retained as op='delete' rows = state memory)."""
+    delta (tombstones retained as op='delete' rows = state memory).
 
-    def __init__(self, target: ParquetMergeTable) -> None:
+    When the target is bucket-partitioned (the default pipeline
+    wiring), the batch's touched buckets are computed once (a tiny
+    distinct over the deduped, cached batch) and the state fold prunes
+    to those hive partitions — O(touched state) per batch instead of a
+    groupBy over the whole base+deltas.  One table, one ledger, one
+    MERGE per batch: replay-under-crash stays the single-commit
+    idempotency argument."""
+
+    def __init__(
+        self,
+        target: ParquetMergeTable,
+        n_buckets: int = 32,
+    ) -> None:
         self.target = target
+        self.n_buckets = n_buckets
+        self.bucketed = bool(
+            target.partition_by and "_bucket" in target.partition_by
+        )
 
     def __call__(self, turns: DataFrame, batch_id: int) -> None:
         if batch_id in self.target.committed_batch_ids():
@@ -87,12 +120,25 @@ class JoinCdcSink:
             .select(*KEY, "_w.*")
         )
 
-        # state = current table rows (live + tombstones); the fold is
-        # pruned to (key, op, ts, cks64) so the state scan never decodes
-        # text/role/tool — the wide payload stays on disk
-        state = self.target.read(
-            columns=["conv_id", "turn_idx", "op", "ts", "cks64"]
-        ).select(
+        cached = None
+        state_cols = ["conv_id", "turn_idx", "op", "ts", "cks64"]
+        if self.bucketed:
+            b = b.withColumn(
+                "_bucket", bucket_of(F.col("conv_id"), self.n_buckets)
+            )
+            cached = b.persist()
+            touched = [r[0] for r in b.select("_bucket").distinct().collect()]
+            # state = pruned fold of the target: only touched bucket
+            # partitions are listed/scanned, and only the narrow
+            # classification columns are decoded
+            state_src = self.target.read(
+                columns=state_cols,
+                partition_filter=F.col("_bucket").isin(touched),
+            )
+        else:
+            # unpartitioned fallback: column pruning only
+            state_src = self.target.read(columns=state_cols)
+        state = state_src.select(
             F.col("conv_id").alias("s_conv_id"),
             F.col("turn_idx").alias("s_turn_idx"),
             F.col("op").alias("s_op"),
@@ -120,18 +166,24 @@ class JoinCdcSink:
             .when(F.col("cks64") != F.col("s_cks64"), F.lit("update"))
             .otherwise(F.coalesce(F.col("s_op"), F.lit("insert")))  # content unchanged → advance ts, keep op
         )
+        extra = ["_bucket"] if self.bucketed else []
         out = (
             j.where(fresh)
             .select(
                 *KEY,
                 op.alias("op"),
                 "role", "text", "tool", "ts", "cksum", "cks64",
+                *extra,
             )
         )
         # MERGE: every classified row (incl. tombstones) lands as the
         # key's new state version; nothing is physically dropped here —
         # live vs deleted is a view predicate, purged on compaction+retention.
-        self.target.merge(out, batch_id=batch_id)
+        try:
+            self.target.merge(out, batch_id=batch_id)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
 
 @dataclass
@@ -142,17 +194,31 @@ class JoinCdcPipeline:
     source_dir: str
     work_dir: str
     max_files_per_trigger: int | None = None
+    n_buckets: int = 32
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
+        # compaction is out-of-band (maintain()): the sink commit stays
+        # O(batch) with no periodic full-table rewrite inside
+        # foreachBatch — same discipline as CdcPipeline.  The target is
+        # bucket-partitioned so the per-batch state fold prunes to the
+        # touched buckets.
         self.target = ParquetMergeTable(
             self.spark,
             os.path.join(self.work_dir, "target"),
             key=KEY,
-            schema=JOIN_STATE_SCHEMA,
+            schema=JOIN_TARGET_SCHEMA,
             tombstone_mode="retain",
+            compact_every=None,
+            partition_by=["_bucket"],
         )
-        self.sink = JoinCdcSink(self.target)
+        self.sink = JoinCdcSink(self.target, self.n_buckets)
+
+    def maintain(self) -> None:
+        """Out-of-band maintenance (Iceberg rewrite_data_files analog):
+        fold deltas into a fresh base.  Call from a maintenance job,
+        never from the hot path."""
+        self.target.compact()
 
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -181,4 +247,6 @@ class JoinCdcPipeline:
                 pass
 
     def target_live(self) -> DataFrame:
-        return self.target.read().where(F.col("op") != "delete")
+        return (
+            self.target.read().where(F.col("op") != "delete").drop("_bucket")
+        )

@@ -62,12 +62,18 @@ class ParquetMergeTable:
         compact_every: int | None = 8,
         tombstone_mode: str = "drop",
         tombstone_retention: str | None = None,  # SQL interval, e.g. "30 days"
+        partition_by: Sequence[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key = list(key)
         self.schema = schema
         self.compact_every = compact_every
+        # hive-style partition columns on every snapshot (Iceberg
+        # partition-spec analog): a read with a ``partition_filter`` on
+        # these columns prunes FILES, not just row groups — the basis of
+        # the join-mode CDC bucketed state index
+        self.partition_by = list(partition_by) if partition_by else None
         # "drop": op='delete' rows vanish on read/compaction (plain
         # target).  "retain": tombstone rows survive as state memory
         # (target-as-state mode; purge via retention policy).
@@ -219,10 +225,26 @@ class ParquetMergeTable:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}")
 
+    def _write_snapshot(self, df: DataFrame, cols: Sequence[str], out: str) -> None:
+        df = df.select(list(cols))
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            # hash-distribute on the partition columns before the write
+            # (Iceberg write.distribution-mode=hash): each partition dir
+            # gets ~1 file per snapshot instead of one per task — tiny-
+            # file/footer explosion is the classic merge-on-read killer
+            w = df.repartition(
+                *[F.col(c) for c in self.partition_by]
+            ).write.mode("overwrite").partitionBy(*self.partition_by)
+        w.parquet(out)
+
     # -- read ----------------------------------------------------------
 
     def read(
-        self, op_col: str | None = "op", columns: Sequence[str] | None = None
+        self,
+        op_col: str | None = "op",
+        columns: Sequence[str] | None = None,
+        partition_filter: Column | None = None,
     ) -> DataFrame:
         """Current state: base ⊎ deltas, latest-per-key wins; op delete
         drops the key unless tombstone_mode='retain' (the merge-on-read
@@ -231,7 +253,12 @@ class ParquetMergeTable:
         ``columns``: prune the fold to these columns (must include the
         key) — the per-key max_by struct then carries only them, so the
         parquet scans never decode the wide payload (join-mode CDC
-        reads state as (key, op, ts, cks64) without touching text)."""
+        reads state as (key, op, ts, cks64) without touching text).
+
+        ``partition_filter``: a predicate over ``partition_by`` columns
+        applied to every snapshot scan BEFORE the fold — prunes whole
+        files (hive partition dirs), so a micro-batch that touches k of
+        n buckets reads k/n of the state."""
         if self.tombstone_mode == "retain":
             op_col = None  # tombstone rows are kept as state memory
         base, deltas = self._live_commits()
@@ -246,18 +273,26 @@ class ParquetMergeTable:
             fields = [c for c in fields if c in keep]
         if base is None and not deltas:
             return self.spark.createDataFrame([], self.schema)
+        def _scan(path: str, with_schema: bool) -> DataFrame:
+            r = self.spark.read
+            if with_schema:
+                r = r.schema(self.schema)
+            df = r.parquet(path)
+            if partition_filter is not None:
+                df = df.where(partition_filter)
+            return df
+
         parts = []
         if base is not None:
             parts.append(
-                self.spark.read.schema(self.schema)
-                .parquet(self._version_dir(base["version"]))
+                _scan(self._version_dir(base["version"]), True)
                 .select(*fields)
                 .withColumn("_seq", F.lit(0))
                 .withColumn("_del", F.lit(False))
             )
         for i, d in enumerate(deltas):
             extra_op = (d.get("info") or {}).get("op_col")
-            raw = self.spark.read.parquet(self._version_dir(d["version"]))
+            raw = _scan(self._version_dir(d["version"]), False)
             if extra_op and op_col is not None and op_col not in fields:
                 dele = F.col(extra_op) == "delete"
             elif op_col in fields:
@@ -284,10 +319,9 @@ class ParquetMergeTable:
 
     def overwrite(self, df: DataFrame, batch_id: int | str | None = None) -> None:
         v = (self.current_version() or 0) + 1
-        out = self._version_dir(v)
-        df.select([f.name for f in self.schema.fields]).write.mode(
-            "overwrite"
-        ).parquet(out)
+        self._write_snapshot(
+            df, [f.name for f in self.schema.fields], self._version_dir(v)
+        )
         self._append_commit(v, batch_id, kind="base")
 
     def merge(
@@ -319,9 +353,7 @@ class ParquetMergeTable:
         if op_col in changes.columns and op_col not in fields:
             write_cols.append(op_col)
             info["op_col"] = op_col
-        changes.select(write_cols).write.mode("overwrite").parquet(
-            self._version_dir(v)
-        )
+        self._write_snapshot(changes, write_cols, self._version_dir(v))
         self._append_commit(v, batch_id, kind="delta", info=info or None)
         if self.compact_every is not None:
             _, deltas = self._live_commits()
@@ -369,9 +401,9 @@ class ParquetMergeTable:
                 (F.col("op") != "delete") | (F.col("ts") >= tombstone_retention)
             )
         v = (self.current_version() or 0) + 1
-        current.select([f.name for f in self.schema.fields]).write.mode(
-            "overwrite"
-        ).parquet(self._version_dir(v))
+        self._write_snapshot(
+            current, [f.name for f in self.schema.fields], self._version_dir(v)
+        )
         self._append_commit(v, None, kind="base")
 
     def migrate_key(
@@ -398,9 +430,9 @@ class ParquetMergeTable:
         self.key = list(new_key)
         self.schema = new_schema
         v = (self.current_version() or 0) + 1
-        migrated.select([f.name for f in new_schema.fields]).write.mode(
-            "overwrite"
-        ).parquet(self._version_dir(v))
+        self._write_snapshot(
+            migrated, [f.name for f in new_schema.fields], self._version_dir(v)
+        )
         self._append_commit(v, None, kind="base")
         self._append_record(
             {"kind": "migrate", "version": v,
@@ -423,9 +455,9 @@ class ParquetMergeTable:
             [f for f in self.schema.fields if f.name not in cols]
         )
         v = (self.current_version() or 0) + 1
-        current.select([f.name for f in self.schema.fields]).write.mode(
-            "overwrite"
-        ).parquet(self._version_dir(v))
+        self._write_snapshot(
+            current, [f.name for f in self.schema.fields], self._version_dir(v)
+        )
         self._append_commit(v, None, kind="base")
         self._append_record(
             {"kind": "purge", "version": v, "info": {"columns": sorted(cols)}}

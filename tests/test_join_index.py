@@ -1,0 +1,127 @@
+"""Join-mode CDC bucket-partitioned target: file-level pruning of the
+per-batch state fold, hash-distributed delta writes (no tiny-file
+explosion), and flat per-batch wall with out-of-band maintenance
+(round-2 verdict items #1/#3)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from hermes_spark.schema import TRANSCRIPT_SCHEMA
+from hermes_spark.streaming.cdc_join import (
+    JOIN_TARGET_SCHEMA,
+    KEY,
+    JoinCdcSink,
+    bucket_of,
+)
+from hermes_spark.tables import ParquetMergeTable
+
+N_BUCKETS = 8
+
+
+def _mk(spark, tmp_work):
+    target = ParquetMergeTable(
+        spark, f"{tmp_work}/target", key=KEY, schema=JOIN_TARGET_SCHEMA,
+        tombstone_mode="retain", compact_every=None, partition_by=["_bucket"],
+    )
+    return target, JoinCdcSink(target, N_BUCKETS)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def _rows(conv, n, tag, t0="2026-01-01 00:00:00"):
+    import datetime as dt
+    base = dt.datetime.fromisoformat(t0)
+    return [
+        (conv, i, "user", f"{tag}-{conv}-{i}", None,
+         base + dt.timedelta(seconds=i))
+        for i in range(n)
+    ]
+
+
+def test_state_fold_prunes_partitions_and_columns(spark, tmp_work):
+    """The per-batch state read must carry a PartitionFilter on _bucket
+    (file pruning) and never decode the wide payload columns."""
+    target, sink = _mk(spark, tmp_work)
+    sink(_batch(spark, _rows("conv-a", 5, "v1") + _rows("conv-b", 5, "v1")), 0)
+    pruned = target.read(
+        columns=["conv_id", "turn_idx", "op", "ts", "cks64"],
+        partition_filter=F.col("_bucket").isin([0, 1]),
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines, plan
+    assert any("_bucket" in ln for ln in part_lines), plan
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "text" not in ln and "role" not in ln, ln
+
+
+def test_hash_distributed_writes_bound_file_count(spark, tmp_work):
+    """Each delta snapshot must hold ~1 parquet file per touched bucket
+    (Iceberg write.distribution-mode=hash), not one per task — tiny
+    files are the merge-on-read footer-parsing killer."""
+    target, sink = _mk(spark, tmp_work)
+    rows = []
+    for c in range(24):
+        rows += _rows(f"conv-{c}", 4, "v1")
+    sink(_batch(spark, rows).repartition(16), 0)  # many input tasks
+    vdir = target._version_dir(1)
+    n_files = sum(
+        1
+        for root, _d, files in os.walk(vdir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files <= N_BUCKETS, n_files
+
+
+def test_bucket_of_matches_written_partitions(spark, tmp_work):
+    """The _bucket column the classifier computes must be the bucket
+    the row is physically stored under (pruning correctness)."""
+    target, sink = _mk(spark, tmp_work)
+    sink(_batch(spark, _rows("x", 3, "v1") + _rows("y", 3, "v1")), 0)
+    got = {
+        (r.conv_id, r._bucket)
+        for r in target.read().select("conv_id", "_bucket").collect()
+    }
+    want = {
+        (r.conv_id, r.b)
+        for r in spark.createDataFrame([("x",), ("y",)], "conv_id string")
+        .select("conv_id", bucket_of(F.col("conv_id"), N_BUCKETS).alias("b"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_join_mode_flat_wall_with_growing_table(spark, tmp_work):
+    """Per-batch sink wall must stay flat as the table grows, with
+    compaction strictly out-of-band (maintain()-style) — the round-2
+    'full-table rewrite inside foreachBatch' regression."""
+    target, sink = _mk(spark, tmp_work)
+
+    def block(start, n):
+        t0 = time.monotonic()
+        for i in range(start, start + n):
+            sink(_batch(spark, _rows(f"conv-{i}", 6, "v1")), i)
+        return time.monotonic() - t0
+
+    first = block(0, 8)
+    target.compact()                         # out-of-band
+    block(8, 8)
+    target.compact()
+    last = block(16, 8)
+
+    assert target.read().count() == 24 * 6
+    # no base commits carrying batch ids → compaction never ran in-band
+    in_band = [
+        c for c in target._read_commits()
+        if c["kind"] == "base" and c.get("batch_id") is not None
+    ]
+    assert not in_band
+    assert last < 3 * first + 1.0, (first, last)
