@@ -703,20 +703,54 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         label="recall_ge_60pct")
 
 
-# -- rows-only entries (no SQL-expressible oracle; driver records a
-#    weaker check) -----------------------------------------------------------
-
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only BY NECESSITY: the 64-bit signature is a function of
-    Spark's xxhash64 (per-token seeds), which DuckDB cannot reproduce
-    (its hash() is a different function) — there is no engine-neutral
-    ground truth for the signature values themselves.  The *semantics*
-    (banded Hamming near-pair retrieval) are pytest-verified in
-    tests/test_functions.py::test_simhash_near_pairs (noisy copies must
-    be Hamming-close to their sources; exact popcount filter)."""
-    from hermes_spark.functions.dedup import simhash
+    """SimHash graded as a verdict (signature VALUES stay engine-
+    specific by necessity: they are a function of Spark's xxhash64,
+    which DuckDB cannot reproduce — so the oracle states the verdict
+    booleans as constants, like ann_lsh/ann_ivf).  Two real checks run
+    inside the measured plan:
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    1. semantics — a noisy copy (text || ' extra tail') must be
+       Hamming-close (≤6 of 64 bits) to its source for ≥90% of docs;
+    2. losslessness — the banded retrieval (8×8-bit bands + popcount
+       filter) must find EXACTLY the directly-computed Hamming-near
+       true pairs (pigeonhole: hamming < bands ⇒ some band matches, so
+       the band join provably loses nothing; this gates the
+       implementation, computed O(n) on the (a, a+10000) pair set)."""
+    from hermes_spark.functions.dedup import simhash, simhash_near_pairs
+
+    both = _docs_plus_noisy(spark, sf_dir)
+    sigs = simhash(both)
+    found = (
+        simhash_near_pairs(sigs, max_hamming=6, bands=8)
+        .where(F.col("doc_b") - F.col("doc_a") == 10000)
+        .select("doc_a")
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sig_a"))
+    b = sigs.select((F.col("doc_id") - 10000).alias("doc_a"),
+                    F.col("simhash").alias("sig_b"))
+    exact_true = (
+        a.join(b, "doc_a")
+        .where(F.bit_count(F.expr("sig_a ^ sig_b")) <= 6)
+        .select("doc_a")
+    )
+    sym_diff = exact_true.join(found, "doc_a", "left_anti").unionByName(
+        found.join(exact_true, "doc_a", "left_anti")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("_diff")))
+        .crossJoin(exact_true.agg(F.count(F.lit(1)).alias("_near")))
+        .select(
+            "n_docs",
+            (F.col("_diff") == 0).alias("banded_lossless_on_true_pairs"),
+            (F.col("_near") * 10 >= F.col("n_docs") * 9).alias(
+                "noisy_copies_near_ge_90pct"
+            ),
+        )
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +810,23 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ldap_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 scalar crypto (reference ldapPasswordHash plugin,
+    plugins/attributes/ldapPasswordHash/ldapPasswordHash.py:46-85 +
+    helpers/ldaphash.py:91-115): SSHA256 with a deterministic per-row
+    salt, the SHA-256 compression running column-wise in numpy across
+    each Arrow batch (functions/crypto.py).  VALUE-equality oracle:
+    DuckDB reproduces the salted digest + base64 byte-for-byte."""
+    from hermes_spark.functions.crypto import ldap_password_hash, salt_of
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ldap_password_hash(
+            F.col("text"), "SSHA256", salt=salt_of(F.col("doc_id"))
+        ).alias("pwhash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -824,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "ldap_hash": q_ldap_hash,
     }
 
 
@@ -1201,6 +1253,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recall_ge_95pct
             FROM pairs
         """,
+        "simhash": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS banded_lossless_on_true_pairs,
+                   TRUE AS noisy_copies_near_ge_90pct
+            FROM documents
+        """,
         "ann_lsh": """
             SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ge_8pct
             FROM embeddings WHERE vec_id % 50 = 0
@@ -1215,6 +1273,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(64 + (i % 5) * 32 AS INT) AS n_bytes
             FROM range(0, 64) t(i)
+        """,
+        "ldap_hash": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS salt
+              FROM documents
+            )
+            SELECT doc_id,
+                   '{SSHA256}' || to_base64(
+                     unhex(sha256(text || salt)) || encode(salt)
+                   ) AS pwhash
+            FROM s
         """,
         "rolling_fingerprint": """
             SELECT doc_id,

@@ -46,6 +46,55 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_near_dup(spark, sf_dir: str) -> dict[str, float]:
+    """The near-dup duo with the exact-pair ground truth computed ONCE
+    and shared (round-2 verdict: 45 of 82 bench seconds were this pair
+    of queries, half of it the same exact-Jaccard computation twice).
+    Phases report separately: the two *operators* as a user runs them
+    (exact pairs; LSH candidates + candidate-only verify) and the
+    *verdict* comparison against the cached exact set."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    both = entrymod._docs_plus_noisy(spark, sf_dir)
+    mdf = entrymod.MAX_DOC_FREQ
+    out: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    exact = (
+        ngram_jaccard_pairs(both, threshold=0.8, max_doc_freq=mdf)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    exact.count()
+    out["ngram_jaccard"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    lsh = (
+        minhash_dedup_pairs(both, verify_threshold=0.8, max_doc_freq=mdf)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    lsh.count()
+    out["minhash_lsh"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    on = ["doc_a", "doc_b"]
+    missed = exact.join(lsh, on, "left_anti").count()
+    fp = lsh.join(exact, on, "left_anti").count()
+    n_exact = exact.count()
+    assert fp == 0 and missed * 20 <= n_exact, (n_exact, missed, fp)
+    out["minhash_verdict_vs_exact"] = round(time.monotonic() - t0, 3)
+    exact.unpersist()
+    lsh.unpersist()
+    return out
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -54,9 +103,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # warm the JVM/codegen once on the cheapest query
     _force(qs["topk_per_group"](spark, sf_dir))
     for name in HEADLINE:
+        if name in ("ngram_jaccard", "minhash_lsh"):
+            continue  # measured with shared ground truth below
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))
         out[name] = round(time.monotonic() - t0, 3)
+    out.update(bench_near_dup(spark, sf_dir))
     return out
 
 

@@ -82,6 +82,7 @@ class ExactlyOnceSink:
         target: ParquetMergeTable,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         assume_unique_keys: bool = True,
+        evolve_on_new_columns: bool = True,
     ) -> None:
         self.target = target
         self.transform = transform
@@ -89,6 +90,12 @@ class ExactlyOnceSink:
         # key per batch, so the per-batch dedupe shuffle is skipped by
         # default; pass False when feeding raw (unclassified) changes.
         self.assume_unique_keys = assume_unique_keys
+        # mid-stream schema evolution: when a batch carries columns the
+        # target doesn't know, publish a dataschema event AHEAD of the
+        # data commit and evolve the target (reference
+        # server/hermesserver.py:340-443 → clients/__init__.py:876-887).
+        # Without this the MERGE would silently drop the new columns.
+        self.evolve_on_new_columns = evolve_on_new_columns
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -96,6 +103,17 @@ class ExactlyOnceSink:
             return  # replayed batch — exactly-once no-op
         if self.transform is not None:
             changes = self.transform(changes)
+        if self.evolve_on_new_columns:
+            known = {f.name for f in self.target.schema.fields}
+            extra = [
+                f for f in changes.schema.fields if f.name not in known
+            ]
+            if extra:
+                # idempotent under replay-after-crash: once evolved, the
+                # diff is empty and no duplicate event is published
+                self.target.evolve(
+                    T.StructType(list(self.target.schema.fields) + extra)
+                )
         if not self.assume_unique_keys:
             changes = _latest_change_per_key(changes, self.target.key)
         obs = Observation(f"lineage_{batch_id}")

@@ -82,6 +82,14 @@ class ParquetMergeTable:
         # delete-rows older than (max event ts - interval) are purged
         self.tombstone_retention = tombstone_retention
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
+        # consumer side of schema evolution: replay any dataschema
+        # events already in the log so a reader constructed with the
+        # original schema sees the evolved one (the reference client's
+        # __updateSchema on receiving a dataschema event,
+        # /root/reference/clients/__init__.py:876-887)
+        for r in self._read_log():
+            if r.get("kind") == "dataschema":
+                self._apply_dataschema(r.get("info") or {})
 
     # -- commit log ---------------------------------------------------
     #
@@ -290,9 +298,15 @@ class ParquetMergeTable:
                 .withColumn("_seq", F.lit(0))
                 .withColumn("_del", F.lit(False))
             )
+        ftype = {f.name: f.dataType for f in self.schema.fields}
         for i, d in enumerate(deltas):
             extra_op = (d.get("info") or {}).get("op_col")
             raw = _scan(self._version_dir(d["version"]), False)
+            # deltas committed before a dataschema event lack the
+            # evolved columns — conform with NULLs (non-breaking read)
+            for c in fields:
+                if c not in raw.columns:
+                    raw = raw.withColumn(c, F.lit(None).cast(ftype[c]))
             if extra_op and op_col is not None and op_col not in fields:
                 dele = F.col(extra_op) == "delete"
             elif op_col in fields:
@@ -360,6 +374,57 @@ class ParquetMergeTable:
             if len(deltas) >= self.compact_every:
                 self.compact()
         return v
+
+    # -- schema evolution (dataschema events) ---------------------------
+
+    def _apply_dataschema(self, info: dict) -> None:
+        names = {f.name for f in self.schema.fields}
+        fields = list(self.schema.fields)
+        for spec in info.get("added", []):
+            if spec["name"] not in names:
+                fields.append(
+                    T.StructField(
+                        spec["name"], T._parse_datatype_string(spec["type"]), True
+                    )
+                )
+        self.schema = T.StructType(fields)
+
+    def evolve(self, new_schema: T.StructType) -> dict | None:
+        """Publish a ``dataschema`` event and evolve this table's schema
+        (the reference's schema-update path: the server diffs its schema
+        registry each cycle and publishes a dataschema event BEFORE the
+        data events that use it, /root/reference/server/hermesserver.py:
+        340-443; clients apply it mid-stream, clients/__init__.py:
+        876-887).
+
+        Non-breaking evolution: new columns append as nullable; removed
+        source columns stay (they go NULL) — Iceberg-style.  The event
+        is one appended log record, ordered before every subsequent data
+        commit; snapshots written pre-evolution read back with NULLs for
+        the new columns, and a reader constructed with the old schema
+        replays the event on open.  Returns the published event info,
+        or None when the schemas already agree."""
+        from hermes_spark.operators.events import diff_schemas
+
+        diff = diff_schemas(self.schema, new_schema)
+        if diff.empty:
+            return None
+        by_name = {f.name: f for f in new_schema.fields}
+        info = {
+            "added": [
+                {"name": c, "type": by_name[c].dataType.simpleString()}
+                for c in diff.added
+            ],
+            "removed": diff.removed,
+            "retyped": [list(t) for t in diff.retyped],
+        }
+        self._append_record({"kind": "dataschema", "info": info})
+        self._apply_dataschema(info)
+        return info
+
+    def dataschema_events(self) -> list[dict]:
+        """Published schema events, in log order (the consumer view)."""
+        return [r for r in self._read_log() if r.get("kind") == "dataschema"]
 
     def annotate_commit(self, version: int, info: dict) -> None:
         """Attach metrics/lineage info to a specific commit (one

@@ -37,7 +37,9 @@ def make_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def prepare_input(work: str, n_turns: int) -> tuple[str, int]:
+def prepare_input(
+    work: str, n_turns: int, files_per_batch: int = 64
+) -> tuple[str, int]:
     from hermes_spark import build_session
     from hermes_spark.fixtures import (
         TranscriptConfig,
@@ -55,9 +57,9 @@ def prepare_input(work: str, n_turns: int) -> tuple[str, int]:
     batches = generate_change_batches(base, n_batches=8)
     total = sum(len(b) for b in batches)
     for b in batches:
-        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).repartition(64).write.mode(
-            "append"
-        ).parquet(src)
+        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).repartition(
+            files_per_batch
+        ).write.mode("append").parquet(src)
     spark.stop()
     return src, total
 
