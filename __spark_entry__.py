@@ -810,6 +810,73 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _twin(e):
+    """Deterministic near-dup twin of an embedding: element i scaled by
+    1 + ((i mod 7) - 3)/1000 — cosine ≈ 0.999995, expressible
+    identically in Spark and DuckDB (index-lambda transform)."""
+    return F.transform(
+        e, lambda x, i: x * (F.lit(1.0) + ((i % 7) - 3) / F.lit(1000.0))
+    )
+
+
+def q_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine between consecutive embeddings — VALUE-equality
+    oracle for the JVM-side vectorized cosine kernel (zip_with +
+    sequential aggregate fold: bit-identical IEEE doubles vs DuckDB's
+    list_reduce in the same fold order)."""
+    from hermes_spark.functions.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("e").alias("e2")
+    )
+    return emb.join(nxt, "vec_id").select(
+        "vec_id", cosine(F.col("e"), F.col("e2")).alias("cos")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the dedup family's embedding member)
+    graded as a verdict: deterministic twins (cosine ≈ 0.999995) must
+    be recovered by the LSH-bucketed candidate join + exact-cosine
+    verify with ≥90% recall (12 planes + 1-bit probes ⇒ ~0.9999
+    per-pair), and every twin must exceed the 0.999 threshold under the
+    exact kernel.  False positives are impossible by construction (the
+    verify stage computes true cosine), so recall is the graded
+    property — like minhash_lsh."""
+    from hermes_spark.functions.similarity import cosine, cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        _twin(F.col("embedding")).alias("embedding"),
+    )
+    both = emb.unionByName(twins)
+    found = (
+        cosine_neardup_pairs(both, dim=64, threshold=0.999, n_planes=12)
+        .where(F.col("vec_b") - F.col("vec_a") == 100000)
+        .select("vec_a")
+    )
+    true_near = emb.where(
+        cosine(F.col("embedding"), _twin(F.col("embedding"))) >= 0.999
+    ).select(F.col("vec_id").alias("vec_a"))
+    hits = found.join(true_near, "vec_a", "left_semi")
+    return (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .crossJoin(true_near.agg(F.count(F.lit(1)).alias("_true")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_hits")))
+        .select(
+            "n_vecs",
+            (F.col("_true") == F.col("n_vecs")).alias("all_twins_near"),
+            (F.col("_hits") * 10 >= F.col("_true") * 9).alias("recall_ge_90pct"),
+        )
+    )
+
+
 def q_ldap_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 scalar crypto (reference ldapPasswordHash plugin,
     plugins/attributes/ldapPasswordHash/ldapPasswordHash.py:46-85 +
@@ -876,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "rolling_fingerprint": q_rolling_fingerprint,
         "ldap_hash": q_ldap_hash,
+        "embed_cosine": q_embed_cosine,
+        "embed_neardup": q_embed_neardup,
     }
 
 
@@ -1273,6 +1342,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(64 + (i % 5) * 32 AS INT) AS n_bytes
             FROM range(0, 64) t(i)
+        """,
+        "embed_cosine": """
+            WITH a AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), p AS (
+              SELECT x.vec_id, x.e AS e1, y.e AS e2
+              FROM a x JOIN a y ON y.vec_id = x.vec_id + 1
+            )
+            SELECT vec_id,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  [e1[i]*e2[i] for i in range(1, len(e1)+1)]),
+                  (acc,x) -> acc+x)
+              / ( sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    [e1[i]*e1[i] for i in range(1, len(e1)+1)]),
+                    (acc,x) -> acc+x))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    [e2[i]*e2[i] for i in range(1, len(e2)+1)]),
+                    (acc,x) -> acc+x)) ) AS cos
+            FROM p
+        """,
+        "embed_neardup": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   TRUE AS all_twins_near,
+                   TRUE AS recall_ge_90pct
+            FROM embeddings
         """,
         "ldap_hash": """
             WITH s AS (

@@ -234,3 +234,52 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine")
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the embedding member of the
+    dedup family: hyperplane-LSH buckets generate candidates (own
+    bucket + 1-bit multi-probe on one side), exact cosine ≥ threshold
+    verifies.  Zero false positives by construction (the verify stage
+    computes the true cosine); recall follows the sign-agreement bound
+    (P(plane splits a pair) = θ/π, tiny at near-dup angles, and the
+    1-bit probes cover single-plane disagreements).  The join is keyed
+    on bucket id — candidate volume ~n²/2^planes per bucket, linear
+    scale path, no cross join anywhere."""
+    b = hyperplane_buckets(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        dim, n_planes, seed=seed, vec_col="_v",
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ {1 << p}").cast("long") for p in range(n_planes)],
+    )
+    l = b.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    r = b.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"), "bucket")
+    cands = (
+        l.join(r, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

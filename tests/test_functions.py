@@ -113,3 +113,28 @@ def test_multimodal_features_and_frame_plan(spark):
     p = plan.groupBy("media_id").count().collect()
     assert len(p) == 10  # one third are videos
     assert all(r["count"] >= 1 for r in p)
+
+
+def test_cosine_neardup_pairs(spark, sf_dir):
+    """Embedding near-dup: deterministic twins recovered with high
+    recall; verified pairs all exceed the threshold (no FPs by
+    construction of the exact-verify stage)."""
+    from hermes_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + ((i % 7) - 3) / F.lit(1000.0)),
+        ).alias("embedding"),
+    )
+    pairs = cosine_neardup_pairs(
+        emb.unionByName(twins), dim=64, threshold=0.999, n_planes=12
+    ).collect()
+    n = emb.count()
+    diag = [r for r in pairs if r.vec_b - r.vec_a == 100000]
+    assert len(diag) >= 0.9 * n
+    assert all(r.cosine >= 0.999 for r in pairs)
