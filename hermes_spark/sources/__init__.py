@@ -11,7 +11,7 @@ Spark-side both are DataFrameReader formats:
                                  the checkpoint, not in our code — S10)
 
 URLs: ``parquet:/path``, ``json:/path``, ``csv:/path``,
-``jdbc:<spark-jdbc-url>?dbtable=t``, ``iceberg:catalog.db.table``.
+``sqlite:/path.db?table=t`` (stdlib driver, tested), ``jdbc:<spark-jdbc-url>?dbtable=t``, ``iceberg:catalog.db.table``.
 jdbc/iceberg are gated on their drivers being on the classpath (absent
 in this sandbox) — the registry raises a clear error instead of
 failing deep inside py4j.
@@ -43,6 +43,15 @@ def snapshot(spark: SparkSession, url: str, schema: T.StructType | None = None) 
         if schema is None:
             raise ValueError("csv source requires an explicit schema (no inference in prod)")
         return spark.read.schema(schema).option("header", True).csv(rest)
+    if scheme == "sqlite":
+        # S2 analog (reference plugins/datasources/sqlite): the poll
+        # model is "fetch the full current state of a type", so a
+        # driver-side sqlite3 (stdlib) read into Arrow is the faithful
+        # Spark restatement for dimension-scale sources — the reference
+        # itself materializes the whole result in one process
+        # (lib/plugins.py:56-123).  Tables too big for one process
+        # belong behind jdbc: with partitioning options on a cluster.
+        return _sqlite_snapshot(spark, rest, schema)
     if scheme == "jdbc":
         base, _, table = rest.partition("?dbtable=")
         try:
@@ -58,6 +67,36 @@ def snapshot(spark: SparkSession, url: str, schema: T.StructType | None = None) 
                 f"engine falls back to ParquetMergeTable: {e}"
             ) from e
     raise ValueError(f"unknown source scheme {scheme!r}")
+
+
+def _sqlite_snapshot(
+    spark: SparkSession, rest: str, schema: T.StructType | None
+) -> DataFrame:
+    """``sqlite:/path/to.db?table=name`` or ``...?query=SELECT ...`` —
+    one poll = one consistent read of the type's current state."""
+    import sqlite3
+    import urllib.parse
+
+    path, _, qs = rest.partition("?")
+    params = dict(urllib.parse.parse_qsl(qs))
+    table, query = params.get("table"), params.get("query")
+    if not (table or query):
+        raise ValueError("sqlite source needs ?table=NAME or ?query=SQL")
+    if table and not table.replace("_", "").isalnum():
+        raise ValueError(f"invalid sqlite table name {table!r}")
+    sql = query or f"SELECT * FROM {table}"  # table name validated above
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    if schema is not None:
+        return spark.createDataFrame(rows, schema)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
 
 
 def stream(spark: SparkSession, url: str, schema: T.StructType) -> DataFrame:

@@ -56,3 +56,37 @@ def test_stream_source_registry(spark, sf_dir, tmp_work):
 
     s = stream(spark, f"parquet:{sf_dir}", TRANSCRIPT_SCHEMA)
     assert s.isStreaming
+
+
+def test_sqlite_source_snapshot(spark, tmp_work):
+    """S2: the SQLite datasource (reference plugins/datasources/sqlite)
+    — poll = full current state, schema honored, query form works."""
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    from hermes_spark.sources import snapshot
+
+    db = f"{tmp_work}/src.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE users (uid INTEGER, name TEXT, grade REAL)")
+    con.executemany("INSERT INTO users VALUES (?,?,?)",
+                    [(1, "ann", 3.5), (2, "bob", None), (3, "cho", 1.25)])
+    con.commit(); con.close()
+
+    schema = T.StructType([
+        T.StructField("uid", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("grade", T.DoubleType()),
+    ])
+    df = snapshot(spark, f"sqlite:{db}?table=users", schema)
+    assert sorted((r.uid, r.name, r.grade) for r in df.collect()) == [
+        (1, "ann", 3.5), (2, "bob", None), (3, "cho", 1.25)
+    ]
+    q = snapshot(
+        spark, f"sqlite:{db}?query=SELECT uid, name FROM users WHERE uid > 1"
+    )
+    assert sorted((r.uid, r.name) for r in q.collect()) == [(2, "bob"), (3, "cho")]
+    import pytest
+    with pytest.raises(ValueError):
+        snapshot(spark, f"sqlite:{db}?table=users; DROP TABLE users")

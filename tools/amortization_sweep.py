@@ -39,6 +39,9 @@ PLANS = [
     ("b2", 64, 256),   # 2 big micro-batches
     ("b1", 64, 512),   # 1 micro-batch = the whole input
 ]
+if os.environ.get("AMORT_PLANS"):  # e.g. "b2" for the big-batch point
+    keep = set(os.environ["AMORT_PLANS"].split(","))
+    PLANS = [p for p in PLANS if p[0] in keep]
 
 
 def main() -> None:
