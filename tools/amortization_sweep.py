@@ -27,6 +27,8 @@ sys.path.insert(0, REPO)
 from tools.bench_scaling import make_zip, prepare_input, run_one  # noqa: E402
 
 LEVELS = (4, 16)
+if os.environ.get("AMORT_LEVELS"):  # e.g. "2,8" for the other N→4N pair
+    LEVELS = tuple(int(x) for x in os.environ["AMORT_LEVELS"].split(","))
 # (plan name, input files per change-batch, maxFilesPerTrigger) — the
 # generator emits 8 change-batches, so n_micro_batches = 8*fpb/mft.
 # A pilot sweep at 1.58M turns showed bigger batches lift ABSOLUTE
@@ -120,11 +122,12 @@ def main() -> None:
                 "all_walls": sorted(r["wall_sec"] for r in rs),
             }
         lo, hi = row[f"local{LEVELS[0]}"], row[f"local{LEVELS[1]}"]
-        row["eff_4_to_16"] = round(
+        ek = f"eff_{LEVELS[0]}_to_{LEVELS[1]}"
+        row[ek] = round(
             (hi["tps"] / lo["tps"]) / (LEVELS[1] / LEVELS[0]), 3
         )
         if lo["steady_batch_sec"] and hi["steady_batch_sec"]:
-            row["eff_4_to_16_steady_state"] = round(
+            row[ek + "_steady_state"] = round(
                 (lo["steady_batch_sec"] / hi["steady_batch_sec"])
                 / (LEVELS[1] / LEVELS[0]), 3
             )
@@ -133,7 +136,7 @@ def main() -> None:
             {
                 "n_micro_batches": lo["n_micro_batches"],
                 "plan": name,
-                "eff_4_to_16": row["eff_4_to_16"],
+                ek: row[ek],
             }
         )
 
