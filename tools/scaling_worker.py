@@ -35,7 +35,10 @@ def main() -> None:
     if os.environ.get("HERMES_MODE") == "join":
         from hermes_spark.streaming.cdc_join import JoinCdcPipeline
 
-        pipe = JoinCdcPipeline(spark, src, work, max_files_per_trigger=mft)
+        pipe = JoinCdcPipeline(
+            spark, src, work, max_files_per_trigger=mft,
+            **({"n_buckets": n_buckets} if n_buckets else {}),
+        )
     else:
         pipe = CdcPipeline(
             spark, src, work, max_files_per_trigger=mft,
