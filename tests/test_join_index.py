@@ -125,3 +125,45 @@ def test_join_mode_flat_wall_with_growing_table(spark, tmp_work):
     ]
     assert not in_band
     assert last < 3 * first + 1.0, (first, last)
+
+
+def test_join_mode_resume_with_midstream_maintenance(spark, tmp_work):
+    """Join-mode kill-and-resume with an out-of-band compaction run
+    between the two halves must equal an uninterrupted run (the
+    stateful mode's S10/S11 gate, for this mode + maintain())."""
+    import os
+
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+    halves = [
+        _rows("c1", 6, "v1") + _rows("c2", 6, "v1"),
+        _rows("c1", 3, "v2", t0="2026-01-02 00:00:00")  # updates
+        + _rows("c3", 6, "v1"),
+    ]
+
+    def write(src, rows):
+        _batch(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    src_a = os.path.join(tmp_work, "src_a")
+    for h in halves:
+        write(src_a, h)
+    full = JoinCdcPipeline(spark, src_a, os.path.join(tmp_work, "full"),
+                           max_files_per_trigger=1)
+    full.run_available()
+
+    src_b = os.path.join(tmp_work, "src_b")
+    write(src_b, halves[0])
+    p1 = JoinCdcPipeline(spark, src_b, os.path.join(tmp_work, "res"),
+                         max_files_per_trigger=1)
+    p1.run_available()          # the "kill" after half 1
+    p1.maintain()               # out-of-band compaction while down
+    write(src_b, halves[1])
+    p2 = JoinCdcPipeline(spark, src_b, os.path.join(tmp_work, "res"),
+                         max_files_per_trigger=1)
+    p2.run_available()          # same checkpoint → resumes
+
+    cols = ["conv_id", "turn_idx", "op", "text", "cksum"]
+    a = full.target_live().select(*cols)
+    b = p2.target_live().select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.where("conv_id = 'c1' and op = 'update'").count() == 3
