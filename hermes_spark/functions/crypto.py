@@ -285,3 +285,126 @@ def ldap_password_hash(
         return pd.Series(out, dtype=object)
 
     return _hash_compat(pw, sa)
+
+
+# -- F4: RSA-OAEP attribute encryption -----------------------------------
+#
+# Reference: plugins/attributes/crypto_RSA_OAEP/crypto_RSA_OAEP.py:60-139
+# (PyCryptodome PKCS1_OAEP; encrypt → base64 string, decrypt → utf-8).
+# Implemented here from RFC 8017 primitives on stdlib only: MGF1 +
+# OAEP padding over hashlib, modexp over Python's C bignum pow().  The
+# padding/masking is byte-level work per row; the modexp dominates and
+# is a single C call per row — the same Arrow-batched compatibility
+# trade as the legacy-digest path above.  The reference draws the OAEP
+# seed from os.urandom; a distributed engine needs retried tasks to
+# reproduce rows, so the seed is an explicit column (hashed to hLen
+# bytes) — pass salt_of(...) or any per-row unique column.
+
+OAEP_HASHES = {
+    "SHA": "sha1", "SHA224": "sha224", "SHA256": "sha256",
+    "SHA384": "sha384", "SHA512": "sha512",
+    "SHA3_256": "sha3_256", "SHA3_384": "sha3_384", "SHA3_512": "sha3_512",
+}
+
+
+def _mgf1(seed: bytes, length: int, algo: str) -> bytes:
+    out = b""
+    for i in range((length + hashlib.new(algo).digest_size - 1)
+                   // hashlib.new(algo).digest_size):
+        out += hashlib.new(algo, seed + i.to_bytes(4, "big")).digest()
+    return out[:length]
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    return (
+        int.from_bytes(a, "big") ^ int.from_bytes(b, "big")
+    ).to_bytes(len(a), "big")
+
+
+def _oaep_encrypt_one(msg: bytes, seed_material: bytes, n: int, e: int,
+                      algo: str) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    h = hashlib.new(algo)
+    hlen = h.digest_size
+    if len(msg) > k - 2 * hlen - 2:
+        raise ValueError(f"message too long for the key ({len(msg)} bytes)")
+    lhash = hashlib.new(algo, b"").digest()
+    ps = b"\x00" * (k - len(msg) - 2 * hlen - 2)
+    db = lhash + ps + b"\x01" + msg
+    seed = hashlib.new(algo, seed_material).digest()[:hlen]
+    masked_db = _xor(db, _mgf1(seed, k - hlen - 1, algo))
+    masked_seed = _xor(seed, _mgf1(masked_db, hlen, algo))
+    em = b"\x00" + masked_seed + masked_db
+    return pow(int.from_bytes(em, "big"), e, n).to_bytes(k, "big")
+
+
+def _oaep_decrypt_one(ct: bytes, n: int, d: int, algo: str) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    hlen = hashlib.new(algo).digest_size
+    em = pow(int.from_bytes(ct, "big"), d, n).to_bytes(k, "big")
+    masked_seed, masked_db = em[1 : 1 + hlen], em[1 + hlen :]
+    seed = _xor(masked_seed, _mgf1(masked_db, hlen, algo))
+    db = _xor(masked_db, _mgf1(seed, k - hlen - 1, algo))
+    lhash = hashlib.new(algo, b"").digest()
+    if em[0] != 0 or db[:hlen] != lhash:
+        raise ValueError("OAEP decryption error")
+    i = db.index(b"\x01", hlen)
+    return db[i + 1 :]
+
+
+def rsa_oaep_encrypt(
+    value: str | Column,
+    n: int,
+    e: int,
+    seed: str | Column,
+    hash_name: str = "SHA256",
+) -> Column:
+    """Encrypt a string/binary column with an RSA public key (OAEP,
+    RFC 8017) → base64 string, the reference plugin's wire format."""
+    if hash_name not in OAEP_HASHES:
+        raise ValueError(f"unknown OAEP hash {hash_name!r}")
+    algo = OAEP_HASHES[hash_name]
+    v = F.col(value) if isinstance(value, str) else value
+    s = F.col(seed) if isinstance(seed, str) else seed
+
+    @F.pandas_udf(T.StringType())
+    def _enc(vals: pd.Series, seeds: pd.Series) -> pd.Series:
+        out = []
+        for m, sd in zip(vals.tolist(), seeds.tolist()):
+            if m is None:
+                out.append(None)
+                continue
+            mb = m if isinstance(m, (bytes, bytearray)) else str(m).encode()
+            sb = sd if isinstance(sd, (bytes, bytearray)) else str(sd).encode()
+            out.append(
+                base64.b64encode(
+                    _oaep_encrypt_one(bytes(mb), bytes(sb), n, e, algo)
+                ).decode("ascii")
+            )
+        return pd.Series(out, dtype=object)
+
+    return _enc(v, s)
+
+
+def rsa_oaep_decrypt(
+    value: str | Column, n: int, d: int, hash_name: str = "SHA256"
+) -> Column:
+    """Decrypt base64/binary ciphertext with the private exponent →
+    utf-8 string (the reference's private-key direction)."""
+    if hash_name not in OAEP_HASHES:
+        raise ValueError(f"unknown OAEP hash {hash_name!r}")
+    algo = OAEP_HASHES[hash_name]
+    v = F.col(value) if isinstance(value, str) else value
+
+    @F.pandas_udf(T.StringType())
+    def _dec(vals: pd.Series) -> pd.Series:
+        out = []
+        for c in vals.tolist():
+            if c is None:
+                out.append(None)
+                continue
+            cb = c if isinstance(c, (bytes, bytearray)) else base64.b64decode(c)
+            out.append(_oaep_decrypt_one(bytes(cb), n, d, algo).decode("utf-8"))
+        return pd.Series(out, dtype=object)
+
+    return _dec(v)

@@ -87,3 +87,108 @@ def test_salt_of_deterministic_and_distinct(spark):
     two = {r.uid: bytes(r.s) for r in df.collect()}
     assert one == two
     assert one["a"] != one["b"] and all(len(v) == 8 for v in one.values())
+
+
+# -- F4: RSA-OAEP ---------------------------------------------------------
+
+
+def _miller_rabin(n: int, rng) -> bool:
+    if n % 2 == 0:
+        return n == 2
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(24):
+        a = rng.randrange(2, n - 1)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = pow(x, 2, n)
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _gen_key(bits=512, seed=7):
+    import random
+
+    rng = random.Random(seed)
+
+    def prime():
+        while True:
+            p = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+            if _miller_rabin(p, rng):
+                return p
+
+    p, q = prime(), prime()
+    n, e = p * q, 65537
+    d = pow(e, -1, (p - 1) * (q - 1))
+    return n, e, d
+
+
+def test_rsa_oaep_roundtrip(spark):
+    """Encrypt with the pandas-UDF public-key path, decrypt with the
+    private-key path — byte-exact round trip, reference wire format
+    (base64 string), deterministic under a fixed seed column."""
+    from hermes_spark.functions.crypto import (
+        rsa_oaep_decrypt,
+        rsa_oaep_encrypt,
+        salt_of,
+    )
+
+    n, e, d = _gen_key()
+    rows = [("u1", "secret-1"), ("u2", "pässwörd ✓"), ("u3", None), ("u4", "")]
+    df = spark.createDataFrame(rows, "uid string, v string").withColumn(
+        "seed", salt_of("uid", size=16)
+    )
+    enc = df.withColumn("ct", rsa_oaep_encrypt("v", n, e, seed="seed"))
+    out = {
+        r.uid: r.pt
+        for r in enc.withColumn(
+            "pt", rsa_oaep_decrypt("ct", n, d)
+        ).collect()
+    }
+    for uid, v in rows:
+        assert out[uid] == v, uid
+    # deterministic: same seed → same ciphertext; and ciphertexts differ
+    # across rows (per-row seeds)
+    cts1 = {r.uid: r.ct for r in enc.collect()}
+    cts2 = {r.uid: r.ct for r in enc.collect()}
+    assert cts1 == cts2
+    assert cts1["u1"] != cts1["u2"]
+
+
+def test_rsa_oaep_matches_model_and_rejects_long(spark):
+    """The UDF output equals the pure-Python RFC 8017 model run
+    locally, and over-long messages fail loudly."""
+    import base64
+
+    from hermes_spark.functions.crypto import (
+        _oaep_decrypt_one,
+        _oaep_encrypt_one,
+        rsa_oaep_encrypt,
+    )
+
+    n, e, d = _gen_key()
+    df = spark.createDataFrame([("a", "hello oaep")], "uid string, v string")
+    ct = base64.b64decode(
+        df.select(
+            rsa_oaep_encrypt("v", n, e, seed=F.lit(b"fixed-seed")).alias("c")
+        ).collect()[0].c
+    )
+    model = _oaep_encrypt_one(b"hello oaep", b"fixed-seed", n, e, "sha256")
+    assert ct == model
+    assert _oaep_decrypt_one(ct, n, d, "sha256") == b"hello oaep"
+
+    # k=128, SHA256 → max 62 bytes; 63 must raise inside the worker
+    import pytest
+
+    long_df = spark.createDataFrame([("x" * 63,)], "v string")
+    with pytest.raises(Exception, match="message too long"):
+        long_df.select(
+            rsa_oaep_encrypt("v", n, e, seed=F.lit(b"s")).alias("c")
+        ).collect()
