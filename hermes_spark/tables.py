@@ -18,8 +18,9 @@ protocol over plain parquet:
   exactly-once under restart-from-checkpoint.
 
 On a real cluster the class is swapped for Iceberg `MERGE INTO`
-(`IcebergTable`, gated on the catalog being configured) with identical
-call signatures — engine code never branches on the format.
+(`hermes_spark.iceberg.IcebergTable`, gated on the catalog being
+configured) with identical call signatures — engine code never
+branches on the format.
 
 Scale note: this local emulation rewrites the table per commit (fine at
 test scale); Iceberg's merge-on-read makes the same operation
