@@ -83,6 +83,8 @@ class ExactlyOnceSink:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         assume_unique_keys: bool = True,
         evolve_on_new_columns: bool = True,
+        dlq=None,
+        validator: Callable[[DataFrame], "F.Column"] | None = None,
     ) -> None:
         self.target = target
         self.transform = transform
@@ -96,13 +98,62 @@ class ExactlyOnceSink:
         # server/hermesserver.py:340-443 → clients/__init__.py:876-887).
         # Without this the MERGE would silently drop the new columns.
         self.evolve_on_new_columns = evolve_on_new_columns
+        # the reference's client event loop (clients/__init__.py:
+        # 913-1020): each event is validated/handled; failures land in
+        # the error queue, and subsequent events for a queued key — or
+        # for an FK-parent of a queued key, per foreignkeys_policy —
+        # divert to the queue instead of applying (per-key FIFO).
+        # ``validator(df) -> boolean Column`` marks rows that apply
+        # cleanly; everything else (plus gated keys) goes to ``dlq``.
+        self.dlq = dlq
+        self.validator = validator
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        if batch_id in self.target.committed_batch_ids():
+        t_done = batch_id in self.target.committed_batch_ids()
+        q_done = (
+            self.dlq is None
+            or f"sink-{batch_id}" in self.dlq.table.committed_batch_ids()
+        )
+        if t_done and q_done:
             return  # replayed batch — exactly-once no-op
         if self.transform is not None:
             changes = self.transform(changes)
+        to_enqueue = None
+        if self.dlq is not None:
+            changes, to_enqueue = self._split_failures(changes)
+        if not t_done:
+            self._apply(changes, batch_id, t0)
+        # queue write AFTER the target merge: a crash between the two
+        # replays against the pre-batch queue state, reproducing the
+        # identical split; each side skips via its own ledger
+        if to_enqueue is not None and not q_done:
+            self.dlq.enqueue(to_enqueue, batch_id=f"sink-{batch_id}")
+
+    def _split_failures(self, changes: DataFrame):
+        """Reference client loop (clients/__init__.py:913-1020): rows
+        failing validation divert to the error queue with an error
+        message; ``gate_incoming`` then diverts the valid rows whose
+        key is already queued (per-key FIFO) or FK-parents a queued
+        object (foreignkeys_policy).  Offsets = event-time micros (the
+        last-writer order the classifier already enforces)."""
+        ok = (
+            self.validator(changes) if self.validator is not None
+            else F.lit(True)
+        )
+        ev = changes.withColumn(
+            "offset", F.unix_micros(F.col("ts"))
+        ).withColumn("_ok", ok)
+        bad = ev.where(~F.col("_ok")).withColumn(
+            "err", F.lit("validation failed")
+        )
+        process, gated = self.dlq.gate_incoming(ev.where(F.col("_ok")))
+        to_enqueue = bad.unionByName(
+            gated.withColumn("err", F.lit(None).cast("string"))
+        ).drop("_ok")
+        return process.drop("offset", "_ok"), to_enqueue
+
+    def _apply(self, changes: DataFrame, batch_id: int, t0: float) -> None:
         if self.evolve_on_new_columns:
             known = {f.name for f in self.target.schema.fields}
             extra = [

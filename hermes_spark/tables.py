@@ -9,10 +9,12 @@ Iceberg runtime jar, so `ParquetMergeTable` implements the same
 protocol over plain parquet:
 
 * data lives in immutable versioned snapshot dirs ``versions/v%08d``;
-* a commit is one atomic ``os.replace`` of the ``_commits.json``
-  pointer file recording ``(version, batch_id)`` — readers only ever
-  see fully-written snapshots (same tmpfile+rename discipline as the
-  reference's cache writer, serialization.py:389-398);
+* a commit is ONE appended line in the ``_commits.jsonl`` ledger
+  recording ``(version, batch_id)`` — O(1) per commit, torn tails from
+  a crash are repaired before the next append, so readers only ever
+  see complete commits over fully-written snapshots (the atomicity
+  discipline of the reference's cache writer, serialization.py:389-398,
+  in WAL form);
 * MERGE is **idempotent per batch_id**: replaying an already-committed
   micro-batch is a no-op, which is exactly what makes ``foreachBatch``
   exactly-once under restart-from-checkpoint.
