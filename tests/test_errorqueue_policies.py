@@ -192,3 +192,49 @@ def test_queue_writes_are_merge_deltas(spark):
     )
     dlq.maintain()
     assert dlq.read().where("key = 'kd'").count() == 1
+
+
+def test_gate_incoming_matches_sequential_model(spark):
+    """Property check: the set-based gate must equal the reference's
+    sequential loop (process events in offset order; divert an event if
+    its key is queued OR it FK-parents a queued object with its op in
+    the policy set; once a key's event diverts, the key counts as
+    queued for the rest of the batch)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    keys = ["k1", "k2", "k3", "k4"]
+    ops = ["insert", "update", "delete"]
+    for trial in range(6):
+        policy = ["disabled", "on_remove_event", "on_every_event"][trial % 3]
+        # queued state: random subset of keys, random fk references
+        queued = [
+            (k, f"v{i}", rng.choice(keys + [None]), i, rng.choice(ops), "e")
+            for i, k in enumerate(rng.sample(keys, rng.randint(0, 2)))
+        ]
+        incoming = [
+            (rng.choice(keys), f"n{j}", None, 100 + j, rng.choice(ops), None)
+            for j in range(8)
+        ]
+        dlq = _dlq(spark, policy)
+        if queued:
+            dlq.enqueue(spark.createDataFrame(queued, Q), autoremediate=False)
+
+        process, gated = dlq.gate_incoming(spark.createDataFrame(incoming, Q))
+        got_gated = {(r.key, r.offset) for r in gated.collect()}
+        got_process = {(r.key, r.offset) for r in process.collect()}
+
+        # sequential model
+        from hermes_spark.streaming.errorqueue import FOREIGNKEYS_POLICIES
+        kinds = set(FOREIGNKEYS_POLICIES[policy])
+        qkeys = {q[0] for q in queued}
+        child_refs = {q[2] for q in queued if q[2] is not None}
+        want_gated = set()
+        for key, _v, _fk, off, op, _e in sorted(incoming, key=lambda r: r[3]):
+            if key in qkeys or (key in child_refs and op in kinds):
+                want_gated.add((key, off))
+                qkeys.add(key)
+        want_process = {(r[0], r[3]) for r in incoming} - want_gated
+        assert got_gated == want_gated, (trial, policy, got_gated, want_gated)
+        assert got_process == want_process, (trial, policy)
