@@ -297,8 +297,14 @@ def ldap_password_hash(
 # is a single C call per row — the same Arrow-batched compatibility
 # trade as the legacy-digest path above.  The reference draws the OAEP
 # seed from os.urandom; a distributed engine needs retried tasks to
-# reproduce rows, so the seed is an explicit column (hashed to hLen
-# bytes) — pass salt_of(...) or any per-row unique column.
+# reproduce rows, so the seed is an explicit column (hashed together
+# with the message to hLen bytes).  Determinism trades away OAEP's
+# randomized IND-CPA property: identical (value, seed) pairs produce
+# identical ciphertext, so equality of such pairs is visible across
+# rows/runs.  Pass a seed column unique per (row, value-version) —
+# e.g. salt_of() over the key columns PLUS a monotonically-advancing
+# ts — to reduce the leak to exact-duplicate rows; the message mixing
+# below guarantees a reused seed never correlates different plaintexts.
 
 OAEP_HASHES = {
     "SHA": "sha1", "SHA224": "sha224", "SHA256": "sha256",
@@ -331,7 +337,11 @@ def _oaep_encrypt_one(msg: bytes, seed_material: bytes, n: int, e: int,
     lhash = hashlib.new(algo, b"").digest()
     ps = b"\x00" * (k - len(msg) - 2 * hlen - 2)
     db = lhash + ps + b"\x01" + msg
-    seed = hashlib.new(algo, seed_material).digest()[:hlen]
+    # the message is MIXED into the seed derivation: equal seed columns
+    # with different plaintexts never produce correlated masks, so a
+    # reused/constant seed column only ever leaks exact-duplicate
+    # (value, seed) rows — not plaintext equality classes across values
+    seed = hashlib.new(algo, seed_material + b"\x00" + msg).digest()[:hlen]
     masked_db = _xor(db, _mgf1(seed, k - hlen - 1, algo))
     masked_seed = _xor(seed, _mgf1(masked_db, hlen, algo))
     em = b"\x00" + masked_seed + masked_db

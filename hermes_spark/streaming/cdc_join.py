@@ -215,10 +215,13 @@ class JoinCdcPipeline:
         self.sink = JoinCdcSink(self.target, self.n_buckets)
 
     def maintain(self) -> None:
-        """Out-of-band maintenance (Iceberg rewrite_data_files analog):
-        fold deltas into a fresh base.  Call from a maintenance job,
-        never from the hot path."""
+        """Out-of-band maintenance (Iceberg rewrite_data_files +
+        expire_snapshots analog): fold deltas into a fresh base, then
+        physically expire the superseded version dirs so disk stays
+        O(live state).  Call from a maintenance job, never from the
+        hot path."""
         self.target.compact()
+        self.target.vacuum()
 
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)

@@ -125,11 +125,12 @@ class DeadLetterQueue:
         return self.table.read(op_col="_qop")
 
     def maintain(self) -> None:
-        """Out-of-band queue compaction (fold deltas into a base).
-        Not ``table.compact()``: that folds liveness through the
-        schema's ``op`` column, which here is the EVENT op — a queued
-        delete-event must survive compaction."""
+        """Out-of-band queue compaction (fold deltas into a base) plus
+        snapshot GC.  Not ``table.compact()``: that folds liveness
+        through the schema's ``op`` column, which here is the EVENT op
+        — a queued delete-event must survive compaction."""
         self.table.overwrite(self.read())
+        self.table.vacuum()
 
     # -- enqueue-time FK policy ----------------------------------------
 
@@ -232,13 +233,18 @@ class DeadLetterQueue:
             folded = compact_events_map(
                 tr, self.key, offset_col="offset", prior=prior
             )
-            # newest error text + step survive the fold
+            # newest NON-NULL error text + step survive the fold
+            # (gated events carry err=NULL, step=NULL — they must not
+            # wipe the retry metadata; reference errorqueue.py:463-501)
             meta = foldable.groupBy(*self.key).agg(
                 F.max_by(
                     "err",
                     F.when(F.col("err").isNotNull(), F.col("offset")),
                 ).alias("err"),
-                F.max_by("step", F.col("offset")).alias("step"),
+                F.max_by(
+                    "step",
+                    F.when(F.col("step").isNotNull(), F.col("offset")),
+                ).alias("step"),
             )
             new_rows = (
                 folded.join(meta, self.key, "left")
@@ -250,14 +256,44 @@ class DeadLetterQueue:
             payload_cols = [
                 c for c in fields if c not in (*self.key, "offset", "op")
             ]
-            new_rows = compact_events(
+            compacted = compact_events(
                 merged,
                 self.key,
                 op_col="op",
                 offset_col="offset",
                 payload_cols=payload_cols,
                 partially_processed_col="partially_processed",
-            ).select(*fields)
+            )
+            # the newest NON-NULL error text + step survive the fold
+            # (reference errorqueue.py:463-501 keeps and updates them
+            # per retry) — compact_events's plain max_by would take the
+            # literally-last event's values, and gated events enqueue
+            # with err=NULL, wiping the message.  Keys holding a
+            # partially-processed event pass through compact_events
+            # row-by-row and keep their per-row err/step.
+            meta = merged.groupBy(*self.key).agg(
+                F.max_by(
+                    "err", F.when(F.col("err").isNotNull(), F.col("offset"))
+                ).alias("_m_err"),
+                F.max_by(
+                    "step", F.when(F.col("step").isNotNull(), F.col("offset"))
+                ).alias("_m_step"),
+                F.max(
+                    F.coalesce(F.col("partially_processed"), F.lit(False))
+                ).alias("_m_pp"),
+            )
+            new_rows = (
+                compacted.join(meta, self.key, "left")
+                .withColumn(
+                    "err",
+                    F.when(F.col("_m_pp"), F.col("err")).otherwise(F.col("_m_err")),
+                )
+                .withColumn(
+                    "step",
+                    F.when(F.col("_m_pp"), F.col("step")).otherwise(F.col("_m_step")),
+                )
+                .select(*fields)
+            )
 
         # MERGE delta: upsert the surviving rows, tombstone the affected
         # queue rows whose (key, offset) did not survive the compaction

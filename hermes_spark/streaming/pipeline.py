@@ -54,6 +54,14 @@ class CdcPipeline:
         )
         self.sink = ExactlyOnceSink(self.target)
 
+    def maintain(self) -> None:
+        """Out-of-band maintenance: fold target deltas into a fresh
+        base and expire superseded snapshot dirs (Iceberg
+        rewrite_data_files + expire_snapshots analog) — disk stays
+        O(live state) over an unbounded stream."""
+        self.target.compact()
+        self.target.vacuum()
+
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
         if self.max_files_per_trigger:

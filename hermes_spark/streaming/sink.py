@@ -117,18 +117,32 @@ class ExactlyOnceSink:
         )
         if t_done and q_done:
             return  # replayed batch — exactly-once no-op
-        if self.transform is not None:
-            changes = self.transform(changes)
-        to_enqueue = None
-        if self.dlq is not None:
-            changes, to_enqueue = self._split_failures(changes)
-        if not t_done:
+        if self.dlq is None:
+            if self.transform is not None:
+                changes = self.transform(changes)
             self._apply(changes, batch_id, t0)
-        # queue write AFTER the target merge: a crash between the two
-        # replays against the pre-batch queue state, reproducing the
-        # identical split; each side skips via its own ledger
-        if to_enqueue is not None and not q_done:
-            self.dlq.enqueue(to_enqueue, batch_id=f"sink-{batch_id}")
+            return
+        # Two-ledger protocol with a PERSISTED split: the DLQ gating
+        # decision is written as a sidecar of the target commit (same
+        # atomic ledger append), and the queue write always enqueues
+        # the persisted rows.  A replay after a crash between the two
+        # commits therefore re-enqueues the ORIGINAL split even if
+        # resolve()/drain() changed the queue in between — recomputing
+        # the split there could silently drop rows (gated→process with
+        # the target merge already skipped) or duplicate them into the
+        # queue (process→gated with the rows already applied).
+        if not t_done:
+            if self.transform is not None:
+                changes = self.transform(changes)
+            process, to_enqueue = self._split_failures(changes)
+            self._apply(process, batch_id, t0, sidecar=to_enqueue)
+        if not q_done:
+            v = self.target.version_of_batch(batch_id)
+            persisted = (
+                self.target.read_sidecar(v) if v is not None else None
+            )
+            if persisted is not None:
+                self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
 
     def _split_failures(self, changes: DataFrame):
         """Reference client loop (clients/__init__.py:913-1020): rows
@@ -153,7 +167,13 @@ class ExactlyOnceSink:
         ).drop("_ok")
         return process.drop("offset", "_ok"), to_enqueue
 
-    def _apply(self, changes: DataFrame, batch_id: int, t0: float) -> None:
+    def _apply(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        t0: float,
+        sidecar: DataFrame | None = None,
+    ) -> None:
         if self.evolve_on_new_columns:
             known = {f.name for f in self.target.schema.fields}
             extra = [
@@ -175,7 +195,9 @@ class ExactlyOnceSink:
             F.sum((F.col("op") == "update").cast("long")).alias("updates"),
             F.sum((F.col("op") == "delete").cast("long")).alias("deletes"),
         )
-        committed = self.target.merge(changes=observed, batch_id=batch_id)
+        committed = self.target.merge(
+            changes=observed, batch_id=batch_id, sidecar=sidecar
+        )
         if committed is not None:
             got = obs.get
             self.target.annotate_commit(

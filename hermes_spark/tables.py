@@ -127,6 +127,7 @@ class ParquetMergeTable:
             "commits": [],
             "by_version": {},
             "batch_ids": set(),
+            "version_by_batch": {},
         }
         if size:
             with open(self._commits_path) as f:
@@ -155,6 +156,7 @@ class ParquetMergeTable:
         cache["by_version"][c["version"]] = c
         if c.get("batch_id") is not None:
             cache["batch_ids"].add(c["batch_id"])
+            cache["version_by_batch"][c["batch_id"]] = c["version"]
 
     def _read_log(self) -> list[dict]:
         return self._fold()["records"]
@@ -236,6 +238,23 @@ class ParquetMergeTable:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}")
 
+    def _sidecar_dir(self, v: int) -> str:
+        return os.path.join(self.path, "versions", f"v{v:08d}-sidecar")
+
+    def version_of_batch(self, batch_id: int | str) -> int | None:
+        return self._fold()["version_by_batch"].get(batch_id)
+
+    def read_sidecar(self, version: int) -> DataFrame | None:
+        """The sidecar persisted with a commit, or None if the commit
+        carried none.  Schema comes from the ledger (explicit — an
+        empty sidecar reads back fine)."""
+        c = self._fold()["by_version"].get(version)
+        sj = (c or {}).get("info", {}).get("sidecar_schema") if c else None
+        if sj is None:
+            return None
+        schema = T.StructType.fromJson(json.loads(sj))
+        return self.spark.read.schema(schema).parquet(self._sidecar_dir(version))
+
     def _write_snapshot(self, df: DataFrame, cols: Sequence[str], out: str) -> None:
         df = df.select(list(cols))
         w = df.write.mode("overwrite")
@@ -284,11 +303,17 @@ class ParquetMergeTable:
             fields = [c for c in fields if c in keep]
         if base is None and not deltas:
             return self.spark.createDataFrame([], self.schema)
-        def _scan(path: str, with_schema: bool) -> DataFrame:
-            r = self.spark.read
-            if with_schema:
-                r = r.schema(self.schema)
-            df = r.parquet(path)
+        def _scan(path: str, schema: T.StructType) -> DataFrame:
+            # ALWAYS an explicit schema: never infer from footers.  This
+            # is what makes an EMPTY snapshot readable — a partitioned
+            # write of zero rows produces a dir with only _SUCCESS, and
+            # schema inference over it raises UNABLE_TO_INFER_SCHEMA,
+            # bricking every subsequent read of the table (an all-stale
+            # micro-batch is a normal event under re-delivery).  Schema-
+            # on-read also conforms old snapshots for free: columns
+            # missing from the files (pre-evolution deltas) come back
+            # NULL, and columns dropped from the schema are ignored.
+            df = self.spark.read.schema(schema).parquet(path)
             if partition_filter is not None:
                 df = df.where(partition_filter)
             return df
@@ -296,20 +321,22 @@ class ParquetMergeTable:
         parts = []
         if base is not None:
             parts.append(
-                _scan(self._version_dir(base["version"]), True)
+                _scan(self._version_dir(base["version"]), self.schema)
                 .select(*fields)
                 .withColumn("_seq", F.lit(0))
                 .withColumn("_del", F.lit(False))
             )
-        ftype = {f.name: f.dataType for f in self.schema.fields}
+        schema_names = {f.name for f in self.schema.fields}
         for i, d in enumerate(deltas):
             extra_op = (d.get("info") or {}).get("op_col")
-            raw = _scan(self._version_dir(d["version"]), False)
-            # deltas committed before a dataschema event lack the
-            # evolved columns — conform with NULLs (non-breaking read)
-            for c in fields:
-                if c not in raw.columns:
-                    raw = raw.withColumn(c, F.lit(None).cast(ftype[c]))
+            dschema = self.schema
+            if extra_op and extra_op not in schema_names:
+                # the out-of-schema op channel recorded with this delta
+                dschema = T.StructType(
+                    list(self.schema.fields)
+                    + [T.StructField(extra_op, T.StringType(), True)]
+                )
+            raw = _scan(self._version_dir(d["version"]), dschema)
             if extra_op and op_col is not None and op_col not in fields:
                 dele = F.col(extra_op) == "delete"
             elif op_col in fields:
@@ -347,6 +374,7 @@ class ParquetMergeTable:
         batch_id: int | str | None = None,
         op_col: str = "op",
         commit_info: dict | None = None,
+        sidecar: DataFrame | None = None,
     ) -> int | None:
         """MERGE INTO this table USING changes ON pkey.
 
@@ -357,7 +385,15 @@ class ParquetMergeTable:
         already committed (idempotent replay no-op).  O(batch): writes
         one delta snapshot; when ``compact_every`` is set, deltas fold
         into a new base every that many commits (pass None to keep
-        compaction fully out-of-band — the streaming hot path does)."""
+        compaction fully out-of-band — the streaming hot path does).
+
+        ``sidecar``: an auxiliary DataFrame persisted atomically WITH
+        this commit (same ledger append) but outside the table's data
+        fold — readable back via ``read_sidecar(version)``.  The
+        exactly-once sink stores its DLQ-split decision here so a
+        replay after a crash between target-commit and queue-commit
+        re-enqueues the ORIGINAL split instead of recomputing it
+        against a queue that may have changed in between."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return None
         v = (self.current_version() or 0) + 1
@@ -370,6 +406,11 @@ class ParquetMergeTable:
         if op_col in changes.columns and op_col not in fields:
             write_cols.append(op_col)
             info["op_col"] = op_col
+        if sidecar is not None:
+            # written BEFORE the ledger append: the commit line is the
+            # atomic publication point for data + sidecar together
+            sidecar.write.mode("overwrite").parquet(self._sidecar_dir(v))
+            info["sidecar_schema"] = sidecar.schema.json()
         self._write_snapshot(changes, write_cols, self._version_dir(v))
         self._append_commit(v, batch_id, kind="delta", info=info or None)
         if self.compact_every is not None:
@@ -474,6 +515,53 @@ class ParquetMergeTable:
         )
         self._append_commit(v, None, kind="base")
 
+    def vacuum(self, keep_sidecars: int = 2) -> list[int]:
+        """Snapshot GC (Iceberg ``expire_snapshots`` analog): physically
+        delete version dirs not referenced by the live view — the latest
+        base and the deltas after it.  Without this a long-running
+        stream grows disk O(total data ever written), and
+        ``purge_columns`` would leave the purged values readable in
+        superseded snapshots forever (the reference rotates and prunes
+        its cache backups, /root/reference/lib/datamodel/
+        serialization.py:399-510; its secrets purge removes the values
+        from disk, server/hermesserver.py:411-429).
+
+        Single-writer discipline: call from maintenance paths (or
+        ``purge_columns``), never concurrently with an in-flight read
+        over old versions.  The ledger keeps the full commit history —
+        only data files are expired, batch-id idempotency is
+        unaffected.
+
+        ``keep_sidecars``: the newest N commit sidecars survive even
+        when their data version is superseded — a crashed sink replays
+        only its most recent uncommitted batch, and its persisted
+        DLQ-split must still be readable after a mid-downtime
+        compaction."""
+        base, deltas = self._live_commits()
+        live = {c["version"] for c in ([base] if base else []) + deltas}
+        vdir = os.path.join(self.path, "versions")
+        sidecar_versions = sorted(
+            int(n[1:9]) for n in os.listdir(vdir) if n.endswith("-sidecar")
+        )
+        keep_sc = set(sidecar_versions[-keep_sidecars:] if keep_sidecars else [])
+        removed: set[int] = set()
+        for name in os.listdir(vdir):
+            if not (name.startswith("v") and name[1:9].isdigit()):
+                continue
+            v = int(name[1:9])
+            if v in live:
+                continue
+            if name.endswith("-sidecar") and v in keep_sc:
+                continue
+            shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
+            if not name.endswith("-sidecar"):
+                removed.add(v)
+        if removed:
+            self._append_record(
+                {"kind": "vacuum", "info": {"removed": sorted(removed)}}
+            )
+        return sorted(removed)
+
     def migrate_key(
         self,
         new_key: Sequence[str],
@@ -511,9 +599,11 @@ class ParquetMergeTable:
         """Purge columns from the cached snapshot (the reference's
         "attribute became SECRET ⇒ remove its values from the cache"
         schema-change path, /root/reference/server/hermesserver.py:
-        411-429): rewrites one new base without the columns and
-        narrows the table schema; history snapshots are superseded, so
-        a subsequent compaction/gc leaves no trace of the values."""
+        411-429): rewrites one new base without the columns, narrows
+        the table schema, and **vacuums the superseded snapshots** so
+        the purged values are physically gone from disk — not merely
+        unreferenced (secrets that survive in old version dirs are not
+        purged at all)."""
         cols = set(cols)
         bad = cols & set(self.key)
         if bad:
@@ -530,6 +620,10 @@ class ParquetMergeTable:
         self._append_record(
             {"kind": "purge", "version": v, "info": {"columns": sorted(cols)}}
         )
+        # secret destruction must not wait for the next maintenance
+        # window — and must not preserve the values in crash-replay
+        # sidecars either
+        self.vacuum(keep_sidecars=0)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
