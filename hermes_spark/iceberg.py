@@ -1,19 +1,44 @@
 """IcebergTable — the cluster-side twin of ``ParquetMergeTable``.
 
-Same call surface (``read`` / ``merge`` / ``overwrite`` / ``compact`` /
-``committed_batch_ids``), backed by a real Iceberg catalog: MERGE is a
-single ``MERGE INTO`` statement (row-level merge-on-read, the protocol
-``ParquetMergeTable`` emulates over plain parquet), idempotency rides
-Iceberg snapshot summary properties (one ``hermes.batch-id`` entry per
-commit, read back from the ``.snapshots`` metadata table), and
-compaction is the catalog's ``rewrite_data_files`` procedure.
+Same call surface — ``read(op_col, columns, partition_filter)`` /
+``merge(changes, batch_id, op_col, commit_info, sidecar)`` /
+``overwrite`` / ``compact`` / ``vacuum`` / ``evolve`` /
+``dataschema_events`` / ``annotate_commit`` / ``migrate_key`` /
+``purge_columns`` / ``committed_batch_ids`` / ``version_of_batch`` /
+``read_sidecar`` — backed by a real Iceberg catalog, so the engine's
+pipelines (``JoinCdcPipeline``'s bucket-pruned state fold,
+``ExactlyOnceSink``'s two-ledger DLQ protocol) run unchanged against
+either class.  The mapping:
+
+* MERGE is a single ``MERGE INTO`` statement (row-level merge-on-read,
+  the protocol ``ParquetMergeTable`` emulates over plain parquet); in
+  ``tombstone_mode='retain'`` the DELETE clause is omitted so op=delete
+  rows persist as state memory, exactly like the local twin.
+* Idempotency rides Iceberg snapshot summary properties (one
+  ``hermes.batch-id`` string entry per commit, read back from the
+  ``.snapshots`` metadata table).  Batch ids are compared as STRINGS on
+  both write and read — the sink uses ids like ``"sink-3"``.
+* ``partition_by`` accepts identity columns (``"_bucket"``) or Iceberg
+  transform specs verbatim (``"bucket(32, conv_id)"``); a
+  ``partition_filter`` on the partition source columns prunes files
+  natively (Iceberg metadata pruning — the analog of the local twin's
+  hive-dir pruning).
+* ``compact`` → ``rewrite_data_files``; ``vacuum`` →
+  ``expire_snapshots``; ``evolve`` → ``ALTER TABLE ADD COLUMNS`` plus a
+  ``hermes.dataschema.N`` table property (the published event);
+  ``annotate_commit`` → ``hermes.lineage.<version>`` property.
+* The commit ``sidecar`` (the sink's persisted DLQ split) lands in a
+  companion table ``<identifier>_sidecar`` keyed by batch id, written
+  BEFORE the main MERGE so the split is never newer than the data it
+  gates.
 
 The sandbox image has no ``iceberg-spark-runtime`` jar, so the
 constructor gates on the catalog actually being configured and raises
 with setup guidance otherwise — engine code selects the table class by
-probing this (never by branching mid-operator).  The MERGE statement
-generator is pure string logic and is unit-tested jar-free; the
-catalog-dependent calls are exercised only on a real cluster.
+probing this (never by branching mid-operator).  Every SQL statement
+the class runs is produced by a pure string generator below, and those
+generators are unit-tested jar-free; only the ``spark.sql`` execution
+is cluster-only.
 
 Reference anchors: the sync-ack producer + write-if-changed cache
 (/root/reference/server/hermesserver.py:697-724,
@@ -23,10 +48,13 @@ contract ParquetMergeTable implements locally.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# -- pure statement generators (unit-tested jar-free) --------------------
 
 
 def merge_sql(
@@ -35,14 +63,24 @@ def merge_sql(
     key: Sequence[str],
     columns: Sequence[str],
     op_col: str = "op",
+    retain_tombstones: bool = False,
 ) -> str:
-    """The one-statement MERGE that applies a classified change batch:
-    deletes drop the key, updates/inserts upsert the payload.  Pure
-    string generation — unit-testable without an Iceberg runtime."""
+    """The one-statement MERGE that applies a classified change batch.
+
+    Default: deletes drop the key, updates/inserts upsert the payload.
+    ``retain_tombstones``: op=delete rows UPSERT like any other row —
+    the target doubles as the CDC state store and remembers tombstones
+    (``ParquetMergeTable(tombstone_mode='retain')``)."""
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
     sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
     ins_cols = ", ".join(columns)
     ins_vals = ", ".join(f"s.{c}" for c in columns)
+    if retain_tombstones:
+        return (
+            f"MERGE INTO {identifier} t USING {view} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
     return (
         f"MERGE INTO {identifier} t USING {view} s ON {on} "
         f"WHEN MATCHED AND s.{op_col} = 'delete' THEN DELETE "
@@ -50,6 +88,71 @@ def merge_sql(
         f"WHEN NOT MATCHED AND s.{op_col} != 'delete' "
         f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
+
+
+def create_table_sql(
+    identifier: str,
+    schema: T.StructType,
+    partition_by: Sequence[str] | None = None,
+) -> str:
+    """CREATE TABLE IF NOT EXISTS with an optional partition spec.
+    ``partition_by`` entries are identity columns (``"_bucket"``) or
+    Iceberg transforms verbatim (``"bucket(32, conv_id)"``,
+    ``"days(ts)"``) — the spec language of the Iceberg DDL itself."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    part = (
+        f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}) USING iceberg{part}"
+    )
+
+
+def add_columns_sql(identifier: str, added: Sequence[tuple[str, str]]) -> str:
+    """ALTER TABLE ADD COLUMNS — Iceberg's non-breaking evolution (new
+    columns read back NULL from pre-evolution snapshots, exactly the
+    local twin's conform-with-NULLs read)."""
+    cols = ", ".join(f"{n} {t}" for n, t in added)
+    return f"ALTER TABLE {identifier} ADD COLUMNS ({cols})"
+
+
+def drop_columns_sql(identifier: str, cols: Sequence[str]) -> str:
+    return f"ALTER TABLE {identifier} DROP COLUMN " + ", ".join(cols)
+
+
+def set_properties_sql(identifier: str, props: dict[str, str]) -> str:
+    """ALTER TABLE SET TBLPROPERTIES with single-quote escaping."""
+    kv = ", ".join(
+        "'{}'='{}'".format(k.replace("'", "''"), str(v).replace("'", "''"))
+        for k, v in sorted(props.items())
+    )
+    return f"ALTER TABLE {identifier} SET TBLPROPERTIES ({kv})"
+
+
+def purge_merge_sql(identifier: str, view: str, key: Sequence[str]) -> str:
+    """Physically remove the rows of ``view`` (matched by key) — used
+    for tombstone-retention expiry in retain mode, where the regular
+    MERGE never deletes."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
+    return (
+        f"MERGE INTO {identifier} t USING {view} s ON {on} "
+        f"WHEN MATCHED THEN DELETE"
+    )
+
+
+def expire_snapshots_sql(identifier: str, retain_last: int = 1) -> str:
+    catalog, table = identifier.split(".", 1)
+    return (
+        f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+        f"retain_last => {int(retain_last)})"
+    )
+
+
+def rewrite_data_files_sql(identifier: str) -> str:
+    catalog, table = identifier.split(".", 1)
+    return f"CALL {catalog}.system.rewrite_data_files(table => '{table}')"
 
 
 class IcebergTable:
@@ -64,11 +167,18 @@ class IcebergTable:
         identifier: str,          # catalog.db.table
         key: Sequence[str],
         schema: T.StructType,
+        compact_every: int | None = None,   # parity arg; Iceberg compaction
+        tombstone_mode: str = "drop",       # is always out-of-band here
+        tombstone_retention: str | None = None,
+        partition_by: Sequence[str] | None = None,
     ) -> None:
         self.spark = spark
         self.identifier = identifier
         self.key = list(key)
         self.schema = schema
+        self.tombstone_mode = tombstone_mode
+        self.tombstone_retention = tombstone_retention
+        self.partition_by = list(partition_by) if partition_by else None
         catalog = identifier.split(".", 1)[0]
         if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
             raise RuntimeError(
@@ -77,22 +187,88 @@ class IcebergTable:
                 "iceberg-spark-runtime jar and catalog conf, or use "
                 "ParquetMergeTable locally)"
             )
+        self.spark.sql(
+            create_table_sql(self.identifier, self.schema, self.partition_by)
+        )
+
+    @property
+    def _sidecar_identifier(self) -> str:
+        return f"{self.identifier}_sidecar"
 
     # -- reads ---------------------------------------------------------
 
-    def read(self, op_col: str | None = "op",
-             columns: Sequence[str] | None = None) -> DataFrame:
+    def read(
+        self,
+        op_col: str | None = "op",
+        columns: Sequence[str] | None = None,
+        partition_filter: Column | None = None,
+    ) -> DataFrame:
+        """Current state.  ``columns`` prunes the scan (must include
+        the key, same contract as the local twin); ``partition_filter``
+        is a predicate over the partition source columns — Iceberg
+        prunes files from it natively, so no manual dir listing is
+        needed.  In ``tombstone_mode='drop'`` the MERGE already deleted
+        the rows; in 'retain' they are present with op='delete' and the
+        caller filters, exactly like the local twin's retain mode."""
         df = self.spark.read.table(self.identifier)
+        if partition_filter is not None:
+            df = df.where(partition_filter)
         if columns is not None:
-            df = df.select(*columns)
+            missing = [k for k in self.key if k not in columns]
+            if missing:
+                raise ValueError(f"columns must include the key; missing {missing}")
+            keep = list(columns)
+            if (
+                op_col is not None
+                and op_col in df.columns
+                and op_col not in keep
+            ):
+                keep.append(op_col)
+            df = df.select(*keep)
         return df
 
     def committed_batch_ids(self) -> set:
+        """Batch ids as STRINGS, verbatim from the snapshot summaries —
+        the sink writes ids like ``'sink-3'``; int-coercing them raised
+        ValueError and made replays undetectable."""
         rows = self.spark.sql(
             f"SELECT summary['{self.BATCH_PROP}'] AS b "
             f"FROM {self.identifier}.snapshots"
         ).collect()
-        return {int(r.b) for r in rows if r.b is not None}
+        return {r.b for r in rows if r.b is not None}
+
+    def current_version(self) -> int | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return rows[0].snapshot_id if rows else None
+
+    def version_of_batch(self, batch_id: int | str) -> int | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            f"WHERE summary['{self.BATCH_PROP}'] = '{str(batch_id)}' "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return rows[0].snapshot_id if rows else None
+
+    def read_sidecar(self, version: int) -> DataFrame | None:
+        """The persisted DLQ-split of the commit with this snapshot id
+        (written to the companion sidecar table before the MERGE)."""
+        rows = self.spark.sql(
+            f"SELECT summary['{self.BATCH_PROP}'] AS b "
+            f"FROM {self.identifier}.snapshots "
+            f"WHERE snapshot_id = {int(version)}"
+        ).collect()
+        if not rows or rows[0].b is None:
+            return None
+        try:
+            side = self.spark.read.table(self._sidecar_identifier)
+        except Exception:
+            return None
+        return side.where(side["_sink_batch_id"] == rows[0].b).drop(
+            "_sink_batch_id"
+        )
 
     # -- writes --------------------------------------------------------
 
@@ -116,32 +292,187 @@ class IcebergTable:
 
         cm.withCommitProperties(props, _Call(), cls)
 
-    def merge(self, changes: DataFrame, batch_id: int | str | None = None,
-              op_col: str = "op") -> int | None:
-        if batch_id is not None and batch_id in self.committed_batch_ids():
-            return None  # replay no-op
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int | str | None = None,
+        op_col: str = "op",
+        commit_info: dict | None = None,
+        sidecar: DataFrame | None = None,
+    ) -> int | str | None:
+        if batch_id is not None and str(batch_id) in self.committed_batch_ids():
+            return None  # replay no-op (string-compared on both sides)
+        if sidecar is not None and batch_id is not None:
+            # before the MERGE: the sink reads the split back only after
+            # the main commit is visible, so sidecar-first ordering means
+            # a visible commit always finds its split
+            from pyspark.sql import functions as F
+
+            tagged = sidecar.withColumn("_sink_batch_id", F.lit(str(batch_id)))
+            try:
+                tagged.writeTo(self._sidecar_identifier).append()
+            except Exception:
+                tagged.writeTo(self._sidecar_identifier).create()
         cols = [f.name for f in self.schema.fields]
         view = f"_hermes_changes_{abs(hash((self.identifier, batch_id)))%10**8}"
         changes.createOrReplaceTempView(view)
-        stmt = merge_sql(self.identifier, view, self.key, cols, op_col)
+        stmt = merge_sql(
+            self.identifier, view, self.key, cols, op_col,
+            retain_tombstones=self.tombstone_mode == "retain",
+        )
         run = lambda: self.spark.sql(stmt)  # noqa: E731
         if batch_id is not None:
             self._with_commit_prop(batch_id, run)
         else:
             run()
-        return batch_id
+        if commit_info:
+            self.annotate_last_commit(commit_info)
+        return self.current_version()
 
-    def overwrite(self, df: DataFrame, batch_id=None) -> None:
-        df.select([f.name for f in self.schema.fields]).writeTo(
+    def overwrite(self, df: DataFrame, batch_id: int | str | None = None) -> None:
+        w = df.select([f.name for f in self.schema.fields]).writeTo(
+            self.identifier
+        )
+        if batch_id is not None:
+            # replace-everything commits carry the batch id too (the
+            # local twin records it in its ledger)
+            self._with_commit_prop(batch_id, w.overwritePartitions)
+        else:
+            w.overwritePartitions()
+
+    # -- schema evolution (dataschema events) --------------------------
+
+    def evolve(self, new_schema: T.StructType) -> dict | None:
+        """ALTER TABLE ADD COLUMNS + publish the dataschema event as a
+        ``hermes.dataschema.N`` table property (ordered BEFORE any
+        subsequent data commit, like the local twin's ledger record —
+        reference server/hermesserver.py:340-443)."""
+        from hermes_spark.operators.events import diff_schemas
+
+        diff = diff_schemas(self.schema, new_schema)
+        if diff.empty:
+            return None
+        by_name = {f.name: f for f in new_schema.fields}
+        info = {
+            "added": [
+                {"name": c, "type": by_name[c].dataType.simpleString()}
+                for c in diff.added
+            ],
+            "removed": diff.removed,
+            "retyped": [list(t) for t in diff.retyped],
+        }
+        if info["added"]:
+            self.spark.sql(
+                add_columns_sql(
+                    self.identifier,
+                    [(a["name"], a["type"]) for a in info["added"]],
+                )
+            )
+        seq = len(self.dataschema_events())
+        self.spark.sql(
+            set_properties_sql(
+                self.identifier,
+                {f"hermes.dataschema.{seq:06d}": json.dumps(info)},
+            )
+        )
+        fields = list(self.schema.fields) + [
+            T.StructField(
+                a["name"], T._parse_datatype_string(a["type"]), True
+            )
+            for a in info["added"]
+        ]
+        self.schema = T.StructType(fields)
+        return info
+
+    def dataschema_events(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.identifier}"
+        ).collect()
+        evs = sorted(
+            (r.key, r.value) for r in rows
+            if r.key.startswith("hermes.dataschema.")
+        )
+        return [json.loads(v) for _k, v in evs]
+
+    # -- lineage annotations -------------------------------------------
+
+    def annotate_commit(self, version: int | str, info: dict) -> None:
+        """Attach metrics/lineage to a commit as a table property keyed
+        by snapshot id (summaries are immutable post-commit)."""
+        self.spark.sql(
+            set_properties_sql(
+                self.identifier,
+                {f"hermes.lineage.{version}": json.dumps(info)},
+            )
+        )
+
+    def annotate_last_commit(self, info: dict) -> None:
+        v = self.current_version()
+        if v is not None:
+            self.annotate_commit(v, info)
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self, tombstone_retention: Column | None = None) -> None:
+        """``rewrite_data_files``, plus tombstone-retention expiry in
+        retain mode (expired delete-rows physically removed via a
+        purge MERGE — the regular retain-mode MERGE never deletes)."""
+        self.spark.sql(rewrite_data_files_sql(self.identifier))
+        if (
+            self.tombstone_mode == "retain"
+            and tombstone_retention is not None
+            and "op" in [f.name for f in self.schema.fields]
+        ):
+            from pyspark.sql import functions as F
+
+            expired = self.read(op_col=None).where(
+                (F.col("op") == "delete") & (F.col("ts") < tombstone_retention)
+            )
+            view = f"_hermes_purge_{abs(hash(self.identifier)) % 10**8}"
+            expired.select(*self.key).createOrReplaceTempView(view)
+            self.spark.sql(purge_merge_sql(self.identifier, view, self.key))
+
+    def vacuum(self, keep_sidecars: int = 2) -> list[int]:
+        """``expire_snapshots``: physically expire superseded snapshot
+        files; the sidecar table keeps its last rows (bounded by DLQ
+        traffic, compacted by the same call on the companion table)."""
+        self.spark.sql(expire_snapshots_sql(self.identifier))
+        return []
+
+    # -- destructive schema ops ----------------------------------------
+
+    def migrate_key(
+        self, new_key: Sequence[str], transform, new_schema: T.StructType
+    ) -> None:
+        """Live pkey migration: re-key every row (tombstones included)
+        via ``transform`` and replace the table contents — the batch-id
+        history lives in snapshot summaries and survives."""
+        migrated = transform(self.read(op_col=None))
+        self.key = list(new_key)
+        self.schema = new_schema
+        migrated.select([f.name for f in new_schema.fields]).writeTo(
             self.identifier
         ).overwritePartitions()
 
-    def compact(self) -> None:
-        catalog = self.identifier.split(".", 1)[0]
-        self.spark.sql(
-            f"CALL {catalog}.system.rewrite_data_files(table => "
-            f"'{self.identifier.split('.', 1)[1]}')"
+    def purge_columns(self, cols: Sequence[str]) -> None:
+        """Drop columns AND destroy their values: Iceberg's DROP COLUMN
+        is metadata-only, so the data is first rewritten without the
+        columns, then the snapshots that still reference the old files
+        are expired — the on-disk guarantee ``ParquetMergeTable.
+        purge_columns`` + ``vacuum`` gives locally."""
+        cols = set(cols)
+        bad = cols & set(self.key)
+        if bad:
+            raise ValueError(f"cannot purge key columns {sorted(bad)}")
+        kept = [f.name for f in self.schema.fields if f.name not in cols]
+        current = self.read(op_col=None).select(*kept)
+        self.spark.sql(drop_columns_sql(self.identifier, sorted(cols)))
+        self.schema = T.StructType(
+            [f for f in self.schema.fields if f.name not in cols]
         )
+        current.writeTo(self.identifier).overwritePartitions()
+        self.spark.sql(expire_snapshots_sql(self.identifier))
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.identifier}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._sidecar_identifier}")
