@@ -291,6 +291,64 @@ def q_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.unionByName(badge)
 
 
+def q_fanout_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial ``modified`` events re-rendered against the FULL cached
+    object, each rendered attr re-classified vs the cached local row
+    (the reference's modified-event path: clients/datamodel.py:550-596,
+    clients/__init__.py:983-994).  Events carry an attr SUBSET; the
+    multi-var badge template references attrs the event did not send,
+    which must render from cache — and events whose re-render changes
+    nothing for a local type are dropped for that type."""
+    from hermes_spark.plans.mapping import LocalTypeSpec, fanout_events
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cache = c.select(
+        k.alias("uid"),
+        F.col("c_name").alias("login"),
+        F.concat(F.lit("m"), (k % 50).cast("string")).alias("mail"),
+        F.col("c_mktsegment").alias("building"),
+    )
+    ev = c.select(
+        k.alias("uid"),
+        F.when(k % 13 == 0, F.lit("delete"))
+        .when(k % 11 == 0, F.lit("insert"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.when(k % 3 == 2, F.concat(F.lit("L"), (k % 9).cast("string")))
+        .alias("login"),
+        F.when(
+            k % 3 == 0,
+            F.when(k % 5 == 0, F.concat(F.lit("m"), (k % 50).cast("string")))
+            .otherwise(F.concat(F.lit("x"), (k % 7).cast("string"))),
+        ).alias("mail"),
+        F.when(k % 3 == 1, F.concat(F.lit("BB"), (k % 4).cast("string")))
+        .alias("building"),
+    )
+    out = fanout_events(
+        ev,
+        [
+            LocalTypeSpec("account", {"v1": "login", "v2": "mail"}),
+            LocalTypeSpec(
+                "badge",
+                {"v1": {"expr": "building || ':' || login"}, "v2": "building"},
+            ),
+        ],
+        key_cols=["uid"],
+        passthrough=(),
+        cache=cache,
+    )
+
+    def shape(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("ltype"), "uid", "op", "v1", "v2",
+            F.array_join("attrs_added", ",").alias("ch_a"),
+            F.array_join("attrs_modified", ",").alias("ch_m"),
+            F.array_join("attrs_removed", ",").alias("ch_r"),
+        )
+
+    return shape("account", out["account"]).unionByName(shape("badge", out["badge"]))
+
+
 def q_merge_substitute_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantined merge conflicts replaced by cached rows
     (replaceInconsistenciesByCachedValues,
@@ -917,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_events": q_compact_events,
         "compact_events_map": q_compact_events_map,
         "fanout": q_fanout,
+        "fanout_cache": q_fanout_cache,
         "merge_substitute_cache": q_merge_substitute_cache,
         "trashbin_retention": q_trashbin_retention,
         "sessionize": q_sessionize,
@@ -1250,6 +1309,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'badge', uid, op, building || ':' || login, building FROM ev
             WHERE op = 'delete' OR (building || ':' || login) IS NOT NULL
                OR building IS NOT NULL
+        """,
+        "fanout_cache": """
+            WITH cache AS (
+              SELECT c_custkey AS uid, c_name AS login,
+                     'm' || CAST(c_custkey % 50 AS VARCHAR) AS mail,
+                     c_mktsegment AS building
+              FROM customer
+            ), ev AS (
+              SELECT c_custkey AS uid,
+                     CASE WHEN c_custkey % 13 = 0 THEN 'delete'
+                          WHEN c_custkey % 11 = 0 THEN 'insert'
+                          ELSE 'update' END AS op,
+                     CASE WHEN c_custkey % 3 = 2
+                          THEN 'L' || CAST(c_custkey % 9 AS VARCHAR) END AS login,
+                     CASE WHEN c_custkey % 3 = 0 THEN
+                       CASE WHEN c_custkey % 5 = 0
+                            THEN 'm' || CAST(c_custkey % 50 AS VARCHAR)
+                            ELSE 'x' || CAST(c_custkey % 7 AS VARCHAR) END
+                     END AS mail,
+                     CASE WHEN c_custkey % 3 = 1
+                          THEN 'BB' || CAST(c_custkey % 4 AS VARCHAR) END AS building
+              FROM customer
+            ), eff AS (
+              SELECT e.uid, e.op,
+                CASE WHEN e.op = 'update' THEN COALESCE(e.login, c.login)
+                     ELSE e.login END AS login,
+                CASE WHEN e.op = 'update' THEN COALESCE(e.mail, c.mail)
+                     ELSE e.mail END AS mail,
+                CASE WHEN e.op = 'update' THEN COALESCE(e.building, c.building)
+                     ELSE e.building END AS building,
+                c.login AS c_login, c.mail AS c_mail, c.building AS c_building
+              FROM ev e LEFT JOIN cache c USING (uid)
+            ), u AS (
+              SELECT 'account' AS ltype, uid, op,
+                     login AS v1, mail AS v2,
+                     c_login AS o1, c_mail AS o2
+              FROM eff
+              UNION ALL
+              SELECT 'badge', uid, op,
+                     building || ':' || login, building,
+                     c_building || ':' || c_login, c_building
+              FROM eff
+            ), cls AS (
+              SELECT ltype, uid, op, v1, v2,
+                CASE WHEN op = 'delete' THEN ''
+                     WHEN op = 'insert' THEN concat_ws(',',
+                       CASE WHEN v1 IS NOT NULL THEN 'v1' END,
+                       CASE WHEN v2 IS NOT NULL THEN 'v2' END)
+                     ELSE concat_ws(',',
+                       CASE WHEN o1 IS NULL AND v1 IS NOT NULL THEN 'v1' END,
+                       CASE WHEN o2 IS NULL AND v2 IS NOT NULL THEN 'v2' END)
+                END AS ch_a,
+                CASE WHEN op = 'update' THEN concat_ws(',',
+                       CASE WHEN o1 IS NOT NULL AND v1 IS NOT NULL AND o1 <> v1 THEN 'v1' END,
+                       CASE WHEN o2 IS NOT NULL AND v2 IS NOT NULL AND o2 <> v2 THEN 'v2' END)
+                     ELSE '' END AS ch_m,
+                CASE WHEN op = 'update' THEN concat_ws(',',
+                       CASE WHEN o1 IS NOT NULL AND v1 IS NULL THEN 'v1' END,
+                       CASE WHEN o2 IS NOT NULL AND v2 IS NULL THEN 'v2' END)
+                     ELSE '' END AS ch_r
+              FROM u
+            )
+            SELECT ltype, uid, op, v1, v2, ch_a, ch_m, ch_r FROM cls
+            WHERE op = 'delete'
+               OR (op = 'insert' AND (v1 IS NOT NULL OR v2 IS NOT NULL))
+               OR (op = 'update' AND (ch_a <> '' OR ch_m <> '' OR ch_r <> ''))
         """,
         "merge_substitute_cache": """
             WITH a AS (

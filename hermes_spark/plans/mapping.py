@@ -94,12 +94,18 @@ class LocalTypeSpec:
     allow_empty: bool = False
 
 
+_ADDED_OPS = ("insert", "added")
+_MODIFIED_OPS = ("update", "modified")
+_REMOVED_OPS = ("delete", "removed")
+
+
 def fanout_events(
     events: DataFrame,
     types: Sequence[LocalTypeSpec],
     key_cols: Sequence[str],
     op_col: str = "op",
     passthrough: Sequence[str] = ("ts",),
+    cache: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One remote change event → N local-type events (the reference's
     ``convertEventToLocal``, /root/reference/clients/datamodel.py:
@@ -111,20 +117,114 @@ def fanout_events(
     whose mapped payload has no content are dropped — except deletes,
     which always pass (the reference emits removed events regardless
     of content, datamodel.py:608).  Pure projections: N narrow
-    DataFrames over one scan, no shuffle, no Python."""
+    DataFrames over one scan, no shuffle, no Python.
+
+    ``cache``: the client's cached remote rows (full objects, same
+    remote column names, keyed by ``key_cols``).  With it, *modified*
+    events are re-rendered against the COMPLETE cached object — the
+    reference's partial-`modified` path (clients/datamodel.py:550-596,
+    clients/__init__.py:983-994): the event's payload is an attr
+    SUBSET, so each remote attr is coalesced over the cached value
+    before template rendering (a multi-var template referencing an
+    unsent attr renders from cache instead of NULL), and every
+    rendered local attr is re-classified against the cached local row
+    into ``attrs_added`` / ``attrs_modified`` / ``attrs_removed``
+    (sorted name arrays).  Modified events whose re-render changes
+    nothing for a local type are dropped for that type.  One key-join
+    against the cache per type — broadcast- or storage-partitioned on
+    a cluster, never row-at-a-time."""
     out: dict[str, DataFrame] = {}
     base = [F.col(c) for c in [*key_cols, op_col, *passthrough]]
+    if cache is None:
+        for t in types:
+            cols = compile_mapping(t.mapping)
+            has_content = F.lit(False)
+            for c in cols.values():
+                has_content = has_content | c.isNotNull()
+            keep = (
+                F.lit(True) if t.allow_empty
+                else F.col(op_col).isin(*_REMOVED_OPS) | has_content
+            )
+            out[t.name] = events.where(keep).select(
+                *base, *[c.alias(a) for a, c in cols.items()]
+            )
+        return out
+
+    key_cols = list(key_cols)
+    payload_cols = [
+        c for c in events.columns
+        if c not in (*key_cols, op_col, *passthrough)
+    ]
+    cache_names = set(cache.columns)
+    is_mod = F.col(op_col).isin(*_MODIFIED_OPS)
+    cpref = cache.select(
+        *key_cols,
+        *[F.col(c).alias(f"__c_{c}") for c in payload_cols if c in cache_names],
+    )
+    joined = events.join(cpref, key_cols, "left")
+    # effective remote row: modified events fill unsent attrs from the
+    # cached object; added events carry the full payload by contract
+    eff_cols = []
+    for c in payload_cols:
+        v = F.col(c)
+        if c in cache_names:
+            v = F.when(is_mod, F.coalesce(F.col(c), F.col(f"__c_{c}"))).otherwise(
+                F.col(c)
+            )
+        eff_cols.append(v.alias(c))
+    eff = joined.select(*[F.col(c) for c in [*key_cols, op_col, *passthrough]],
+                        *eff_cols)
+
     for t in types:
         cols = compile_mapping(t.mapping)
+        attrs = sorted(cols)
+        new_df = eff.select(*base, *[cols[a].alias(a) for a in attrs])
+        old_cols = compile_mapping(t.mapping)  # same specs, over cache names
+        old_df = cache.select(
+            *key_cols, *[old_cols[a].alias(f"__old_{a}") for a in attrs]
+        )
+        typed = new_df.join(old_df, key_cols, "left")
+
+        def _arr(cond_of):
+            return F.array_sort(
+                F.array_compact(
+                    F.array(*[F.when(cond_of(a), F.lit(a)) for a in attrs])
+                )
+            )
+
+        def old(a):
+            return F.col(f"__old_{a}")
+
+        is_add = F.col(op_col).isin(*_ADDED_OPS)
+        is_del = F.col(op_col).isin(*_REMOVED_OPS)
+        added = F.when(is_del, F.array().cast("array<string>")).when(
+            is_add, _arr(lambda a: F.col(a).isNotNull())
+        ).otherwise(_arr(lambda a: old(a).isNull() & F.col(a).isNotNull()))
+        modified = F.when(is_mod, _arr(
+            lambda a: old(a).isNotNull()
+            & F.col(a).isNotNull()
+            & (old(a) != F.col(a))
+        )).otherwise(F.array().cast("array<string>"))
+        removed = F.when(is_mod, _arr(
+            lambda a: old(a).isNotNull() & F.col(a).isNull()
+        )).otherwise(F.array().cast("array<string>"))
+
         has_content = F.lit(False)
-        for c in cols.values():
-            has_content = has_content | c.isNotNull()
+        for a in attrs:
+            has_content = has_content | F.col(a).isNotNull()
+        any_change = (
+            F.size(added) + F.size(modified) + F.size(removed)
+        ) > 0
         keep = (
             F.lit(True) if t.allow_empty
-            else (F.col(op_col) == "delete") | has_content
+            else is_del | (is_add & has_content) | (is_mod & any_change)
         )
-        out[t.name] = events.where(keep).select(
-            *base, *[c.alias(a) for a, c in cols.items()]
+        out[t.name] = (
+            typed.withColumn("attrs_added", added)
+            .withColumn("attrs_modified", modified)
+            .withColumn("attrs_removed", removed)
+            .where(keep)
+            .drop(*[f"__old_{a}" for a in attrs])
         )
     return out
 

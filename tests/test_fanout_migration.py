@@ -220,3 +220,97 @@ def test_purge_secret_columns(spark):
     with pytest.raises(ValueError):
         t.purge_columns(["id"])
     t.drop()
+
+
+# ---- fan-out with cache re-render (modified events) -------------------------
+
+def _cache_rig(spark):
+    cache = spark.createDataFrame(
+        [
+            (1, "alice", "a@x", "B1"),
+            (2, "bob", "b@x", "B2"),
+            (3, "caro", "c@x", "B3"),
+            (4, "dave", "d@x", None),
+        ],
+        "uid int, login string, mail string, building string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # only building sent: the badge template references login,
+            # which must render from the CACHED object, not NULL
+            (1, "update", 10, None, None, "B9"),
+            # mail sent but UNCHANGED vs cache → no local change
+            (2, "update", 11, None, "b@x", None),
+            # login changed → cascades into the multi-var template
+            (3, "update", 12, "carol", None, None),
+            # building appears on an object whose cache had none
+            (4, "update", 13, None, None, "B4"),
+        ],
+        "uid int, op string, ts int, login string, mail string, building string",
+    )
+    return cache, ev
+
+
+def test_fanout_modified_rerenders_against_cache(spark):
+    """Reference clients/datamodel.py:550-596: a partial `modified`
+    event is re-rendered against the full cached object and each
+    rendered attr re-classified vs the cached local row."""
+    cache, ev = _cache_rig(spark)
+    out = fanout_events(
+        ev,
+        [
+            LocalTypeSpec("account", {"email": "mail", "username": "login"}),
+            LocalTypeSpec(
+                "badge",
+                {"tag": {"expr": "concat(building, ':', login)"},
+                 "b": "building"},
+            ),
+        ],
+        key_cols=["uid"],
+        cache=cache,
+    )
+    badge = {r.uid: r for r in out["badge"].collect()}
+    # unsent attr rendered from cache (the round-3 gap: was NULL)
+    assert badge[1].tag == "B9:alice"
+    assert badge[1].attrs_modified == ["b", "tag"]
+    # nothing changed for this type → event dropped for it
+    assert 2 not in badge
+    assert badge[3].tag == "B3:carol" and badge[3].attrs_modified == ["tag"]
+    # cache had no building: both rendered attrs classify as added
+    assert badge[4].attrs_added == ["b", "tag"] and badge[4].tag == "B4:dave"
+
+    acct = {r.uid: r for r in out["account"].collect()}
+    assert 2 not in acct  # coalesced payload identical to cache
+    assert 1 not in acct  # building-only event touches no account attr
+    assert acct[3].username == "carol"
+    assert acct[3].attrs_modified == ["username"] and acct[3].attrs_added == []
+
+
+def test_fanout_cache_removed_classification(spark):
+    """A re-render that nulls a previously-present local attr
+    classifies as removed (reference 3-way re-classification)."""
+    cache, ev = _cache_rig(spark)
+    out = fanout_events(
+        ev,
+        [LocalTypeSpec("nb", {"x": {"expr": "nullif(building, 'B9')"}})],
+        key_cols=["uid"],
+        cache=cache,
+    )
+    rows = {r.uid: r for r in out["nb"].collect()}
+    # uid 1: old x = B1, new render = nullif(B9) = NULL → removed
+    assert rows[1].attrs_removed == ["x"] and rows[1].x is None
+    # uid 4: old NULL, new B4 → added
+    assert rows[4].attrs_added == ["x"]
+
+
+def test_fanout_without_cache_unchanged(spark):
+    """cache=None keeps the original projection-only behavior."""
+    _cache, ev = _cache_rig(spark)
+    out = fanout_events(
+        ev,
+        [LocalTypeSpec("account", {"v": "mail"})],
+        key_cols=["uid"],
+    )
+    got = {r.uid: r.v for r in out["account"].collect()}
+    assert got == {2: "b@x"}  # only the event with mail content survives
+    assert "attrs_added" not in out["account"].columns
