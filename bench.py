@@ -112,6 +112,59 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_candidate_telemetry(spark, sf_dir: str) -> dict[str, int]:
+    """Candidate-volume telemetry for the near-dup family (untimed).
+    Run at two scale factors, this grounds the 'survives 100× data'
+    claims in MEASURED candidate-count growth — the scale risk of every
+    bucketed near-dup operator is quadratic candidate blowup inside a
+    bucket, which plan shapes alone cannot show."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+    from hermes_spark.functions.similarity import cosine_neardup_pairs
+
+    both = em._docs_plus_noisy(spark, sf_dir)
+    mdf = em.MAX_DOC_FREQ
+    out: dict[str, int] = {"docs": both.count()}
+    out["ngram_exact_pairs"] = ngram_jaccard_pairs(
+        both, threshold=0.8, max_doc_freq=mdf
+    ).count()
+    out["minhash_lsh_candidates"] = minhash_dedup_pairs(
+        both, verify_threshold=None, max_doc_freq=mdf
+    ).count()
+    sig = simhash(both).persist()
+    # max_hamming=64 makes the popcount filter vacuous → pure band-join
+    # candidate volume
+    out["simhash_band_candidates"] = simhash_near_pairs(
+        sig, max_hamming=64
+    ).count()
+    out["simhash_pairs"] = simhash_near_pairs(sig).count()
+    sig.unpersist()
+    emb = em._t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        em._twin(F.col("embedding")).alias("embedding"),
+    )
+    eboth = emb.unionByName(twins)
+    out["embed_vecs"] = eboth.count()
+    # threshold=-1 keeps every candidate the bucket join generates
+    out["embed_lsh_candidates"] = cosine_neardup_pairs(
+        eboth, dim=64, threshold=-1.0, n_planes=12
+    ).count()
+    out["embed_neardup_pairs"] = cosine_neardup_pairs(
+        eboth, dim=64, threshold=0.999, n_planes=12
+    ).count()
+    return out
+
+
 def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
     """End-to-end streaming CDC turns/sec on a synthetic stream
     (~n_turns turns, skewed, with re-deliveries), 8 micro-batches."""
@@ -175,6 +228,9 @@ def main() -> None:
         "hermes_spark_bench", master=f"local[{cpus}]",
         shuffle_partitions=int(cpus), extra_conf=extra,
     )
+    def _sf_of(d: str):
+        return float(d.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in d else None
+
     try:
         queries = bench_queries(spark, sf_dir)
         work = os.path.join(shm, f"hermes-bench-{os.getpid()}")
@@ -184,7 +240,23 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
         total = round(sum(queries.values()) + cdc["cdc_wall_sec"], 3)
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+        extras: dict = {}
+        # scaling-with-data curve: the same headline queries at a second
+        # SF, plus candidate-count telemetry for the near-dup family at
+        # both SFs (untimed — the curve is the evidence, set
+        # SPARK_GRAFT_SECOND_SF_DIR="" to disable)
+        second = os.environ.get(
+            "SPARK_GRAFT_SECOND_SF_DIR", "/root/testdata/sf0.01"
+        )
+        if second and os.path.isdir(second) and second.rstrip("/") != sf_dir.rstrip("/"):
+            extras["second"] = {
+                "sf": _sf_of(second),
+                "queries": bench_queries(spark, second),
+            }
+            extras["candidates"] = {
+                str(_sf_of(second)): bench_candidate_telemetry(spark, second),
+                str(_sf_of(sf_dir)): bench_candidate_telemetry(spark, sf_dir),
+            }
         print(
             json.dumps(
                 {
@@ -192,8 +264,9 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": queries,
-                    "sf": sf,
+                    "sf": _sf_of(sf_dir),
                     **cdc,
+                    **extras,
                 }
             )
         )

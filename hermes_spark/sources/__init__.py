@@ -11,8 +11,12 @@ Spark-side both are DataFrameReader formats:
                                  the checkpoint, not in our code — S10)
 
 URLs: ``parquet:/path``, ``json:/path``, ``csv:/path``,
-``sqlite:/path.db?table=t`` (stdlib driver, tested), ``jdbc:<spark-jdbc-url>?dbtable=t``, ``iceberg:catalog.db.table``.
-jdbc/iceberg are gated on their drivers being on the classpath (absent
+``sqlite:/path.db?table=t`` (stdlib driver, tested), ``jdbc:<spark-jdbc-url>?dbtable=t``, ``iceberg:catalog.db.table``,
+``ldap://host:port/base?filter=...&attrs=a,b`` (S5 analog; gated on a
+python LDAP client being importable — absent in this sandbox — with an
+injectable ``search_fn`` so the row-shaping logic is tested against a
+stub, the same pattern the sqlite source proved).
+jdbc/iceberg/ldap are gated on their drivers being available (absent
 in this sandbox) — the registry raises a clear error instead of
 failing deep inside py4j.
 """
@@ -30,7 +34,12 @@ def _split(url: str) -> tuple[str, str]:
     return scheme, rest
 
 
-def snapshot(spark: SparkSession, url: str, schema: T.StructType | None = None) -> DataFrame:
+def snapshot(
+    spark: SparkSession,
+    url: str,
+    schema: T.StructType | None = None,
+    **opts,
+) -> DataFrame:
     scheme, rest = _split(url)
     if scheme == "parquet":
         r = spark.read.schema(schema) if schema else spark.read
@@ -52,6 +61,10 @@ def snapshot(spark: SparkSession, url: str, schema: T.StructType | None = None) 
         # (lib/plugins.py:56-123).  Tables too big for one process
         # belong behind jdbc: with partitioning options on a cluster.
         return _sqlite_snapshot(spark, rest, schema)
+    if scheme == "ldap":
+        return _ldap_snapshot(
+            spark, rest, schema, search_fn=opts.get("search_fn")
+        )
     if scheme == "jdbc":
         base, _, table = rest.partition("?dbtable=")
         try:
@@ -97,6 +110,99 @@ def _sqlite_snapshot(
     import pandas as pd
 
     return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+def _ldap_snapshot(
+    spark: SparkSession,
+    rest: str,
+    schema: T.StructType | None,
+    search_fn=None,
+) -> DataFrame:
+    """``ldap://host:port/base_dn?filter=(objectClass=*)&attrs=a,b&scope=sub``
+    — one poll = one subtree search of the type's current state (the
+    reference's LDAP datasource,
+    /root/reference/plugins/datasources/ldap/ldap.py:92-128).
+
+    Value shaping follows the reference exactly (ldap.py:110-124):
+    every LDAP attribute is a list of byte-strings; a declared
+    ``ArrayType`` field keeps the (decoded) list, any other field takes
+    the single decoded value — multi-valued data arriving for a scalar
+    field keeps the first value, absent attributes are NULL.
+
+    ``search_fn(base, scope, filter, attrs) -> [(dn, {attr: [bytes]})]``
+    is injectable for tests; by default it is built on the ``ldap3``
+    client, which is not installed in this sandbox — the registry
+    raises with guidance rather than failing deep in an import.  Like
+    the sqlite source, the poll materializes driver-side (the reference
+    is a single process too); directory servers are dimension-scale."""
+    import urllib.parse
+
+    u = urllib.parse.urlsplit(f"ldap:{rest}")
+    params = dict(urllib.parse.parse_qsl(u.query))
+    base_dn = u.path.lstrip("/")
+    scope = params.get("scope", "sub")
+    flt = params.get("filter", "(objectClass=*)")
+    attrs = [a for a in params.get("attrs", "").split(",") if a]
+    if schema is None:
+        raise ValueError("ldap source requires an explicit schema")
+    if not attrs:
+        attrs = [f.name for f in schema.fields]
+
+    if search_fn is None:
+        try:
+            import ldap3  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "ldap source needs the ldap3 client (pip install ldap3) "
+                "or an injected search_fn"
+            ) from e
+
+        def search_fn(base, scope_, filt, attrlist):
+            srv = ldap3.Server(u.hostname, port=u.port or 389)
+            conn = ldap3.Connection(srv, auto_bind=True)
+            scope_map = {
+                "base": ldap3.BASE, "one": ldap3.LEVEL, "sub": ldap3.SUBTREE
+            }
+            conn.search(
+                base, filt, search_scope=scope_map[scope_],
+                attributes=attrlist,
+            )
+            out = []
+            for e in conn.entries:
+                out.append(
+                    (
+                        e.entry_dn,
+                        {
+                            a: [
+                                v.encode() if isinstance(v, str) else bytes(v)
+                                for v in e[a].values
+                            ]
+                            for a in attrlist
+                            if a in e
+                        },
+                    )
+                )
+            conn.unbind()
+            return out
+
+    entries = search_fn(base_dn, scope, flt, attrs)
+
+    def _decode(v):
+        return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v
+
+    rows = []
+    for _dn, av in entries:
+        row = []
+        for f in schema.fields:
+            vals = av.get(f.name)
+            if not vals:
+                row.append(None)
+            elif isinstance(f.dataType, T.ArrayType):
+                row.append([_decode(v) for v in vals])
+            else:
+                row.append(_decode(vals[0]))
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, schema)
 
 
 def stream(spark: SparkSession, url: str, schema: T.StructType) -> DataFrame:

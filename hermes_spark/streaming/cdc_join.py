@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -91,21 +91,42 @@ class JoinCdcSink:
     to those hive partitions — O(touched state) per batch instead of a
     groupBy over the whole base+deltas.  One table, one ledger, one
     MERGE per batch: replay-under-crash stays the single-commit
-    idempotency argument."""
+    idempotency argument.
+
+    Adaptive pruning: computing the touched-bucket list costs a second
+    driver action (distinct+collect over the persisted batch) that is
+    pure overhead once batches are dense — a high-throughput stream
+    touches every bucket every trigger, so the "pruned" read lists the
+    same files anyway.  The sink therefore tracks how many buckets the
+    PREVIOUS batch touched via an Observation riding the merge job
+    (zero extra jobs) and skips the collect — one job per batch, no
+    persist — while the stream stays dense (≥ ``prune_threshold`` of
+    the buckets); a sparse batch flips it back to the pruned fold.
+    Dense and sparse regimes each get their optimal plan without any
+    per-batch measurement cost."""
 
     def __init__(
         self,
         target: ParquetMergeTable,
         n_buckets: int = 32,
+        prune_threshold: float = 0.5,
     ) -> None:
         self.target = target
         self.n_buckets = n_buckets
         self.bucketed = bool(
             target.partition_by and "_bucket" in target.partition_by
         )
+        # fraction of buckets above which the touched-bucket collect is
+        # skipped; 0 disables pruning entirely, >1 forces it always
+        self.prune_threshold = prune_threshold
+        self._last_touched: int | None = None
 
     def __call__(self, turns: DataFrame, batch_id: int) -> None:
         if batch_id in self.target.committed_batch_ids():
+            # replay no-op — but the batch plan must still run so any
+            # upstream stateful operator commits its state stores
+            # (Spark 4 validates this and fails the batch otherwise)
+            turns.count()
             return
         b = with_content_cksum(turns)
         tomb = F.col("text").isNull()
@@ -126,15 +147,27 @@ class JoinCdcSink:
             b = b.withColumn(
                 "_bucket", bucket_of(F.col("conv_id"), self.n_buckets)
             )
-            cached = b.persist()
-            touched = [r[0] for r in b.select("_bucket").distinct().collect()]
-            # state = pruned fold of the target: only touched bucket
-            # partitions are listed/scanned, and only the narrow
-            # classification columns are decoded
-            state_src = self.target.read(
-                columns=state_cols,
-                partition_filter=F.col("_bucket").isin(touched),
+            dense = (
+                self._last_touched is not None
+                and self._last_touched >= self.prune_threshold * self.n_buckets
             )
+            if dense:
+                # dense stream: every bucket is (almost) touched — the
+                # pruned fold would list the same files, so skip the
+                # collect and the persist entirely: ONE job this batch
+                state_src = self.target.read(columns=state_cols)
+            else:
+                cached = b.persist()
+                touched = [
+                    r[0] for r in b.select("_bucket").distinct().collect()
+                ]
+                # state = pruned fold of the target: only touched bucket
+                # partitions are listed/scanned, and only the narrow
+                # classification columns are decoded
+                state_src = self.target.read(
+                    columns=state_cols,
+                    partition_filter=F.col("_bucket").isin(touched),
+                )
         else:
             # unpartitioned fallback: column pruning only
             state_src = self.target.read(columns=state_cols)
@@ -179,8 +212,24 @@ class JoinCdcSink:
         # MERGE: every classified row (incl. tombstones) lands as the
         # key's new state version; nothing is physically dropped here —
         # live vs deleted is a view predicate, purged on compaction+retention.
+        obs = None
+        if self.bucketed:
+            # density telemetry rides the merge job (no extra action):
+            # it decides whether the NEXT batch bothers pruning
+            obs = Observation(f"join_touched_{batch_id}")
+            out = out.observe(
+                obs, F.approx_count_distinct("_bucket").alias("nb")
+            )
         try:
             self.target.merge(out, batch_id=batch_id)
+            if obs is not None:
+                try:
+                    self._last_touched = int(obs.get["nb"] or 0)
+                except Exception:
+                    # an all-stale batch writes an EMPTY delta — zero
+                    # tasks run, so the metrics row never materializes;
+                    # treat it as a sparse signal (prune next batch)
+                    self._last_touched = 0
         finally:
             if cached is not None:
                 cached.unpersist()
@@ -195,6 +244,7 @@ class JoinCdcPipeline:
     work_dir: str
     max_files_per_trigger: int | None = None
     n_buckets: int = 32
+    prune_threshold: float = 0.5
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -212,7 +262,9 @@ class JoinCdcPipeline:
             compact_every=None,
             partition_by=["_bucket"],
         )
-        self.sink = JoinCdcSink(self.target, self.n_buckets)
+        self.sink = JoinCdcSink(
+            self.target, self.n_buckets, prune_threshold=self.prune_threshold
+        )
 
     def maintain(self) -> None:
         """Out-of-band maintenance (Iceberg rewrite_data_files +

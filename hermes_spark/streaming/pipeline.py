@@ -18,10 +18,12 @@ run as sibling queries over the same source.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from hermes_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
@@ -38,6 +40,14 @@ class CdcPipeline:
     watermark: str = "10 minutes"
     max_files_per_trigger: int | None = None
     n_buckets: int | None = 1024  # state-key coarsening (None = per conv_id)
+    # reference client-loop wiring (clients/__init__.py:913-1020 +
+    # 640-755): rows failing ``validator`` divert to a dead-letter
+    # queue (with per-key FIFO + FK gating), and every
+    # ``retry_every`` micro-batches a dependency-ordered drain pass
+    # retries the queue with the same validator — transient failures
+    # heal without operator intervention (errorQueue_retryInterval).
+    validator: Callable[[DataFrame], Column] | None = None
+    retry_every: int | None = None
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -52,7 +62,65 @@ class CdcPipeline:
             # maintenance job, exactly like Iceberg rewrite_data_files)
             compact_every=None,
         )
-        self.sink = ExactlyOnceSink(self.target)
+        self.dlq = None
+        if self.validator is not None:
+            from hermes_spark.streaming.errorqueue import DeadLetterQueue
+
+            payload = T.StructType(
+                [f for f in CHANGE_EVENT_SCHEMA.fields if f.name != "op"]
+            )
+            self.dlq = DeadLetterQueue(
+                self.spark,
+                os.path.join(self.work_dir, "dlq"),
+                key=["conv_id", "turn_idx"],
+                payload_schema=payload,
+            )
+        self.sink = ExactlyOnceSink(
+            self.target, dlq=self.dlq, validator=self.validator
+        )
+
+    # -- foreachBatch body: sink + scheduled retry ---------------------
+
+    def _on_batch(self, df: DataFrame, batch_id: int) -> None:
+        self.sink(df, batch_id)
+        if (
+            self.dlq is not None
+            and self.retry_every
+            and (batch_id + 1) % self.retry_every == 0
+        ):
+            self.retry_queue(tag=f"b{batch_id}")
+
+    def retry_queue(self, tag: str | None = None, max_passes: int = 10) -> int:
+        """One scheduled error-queue retry: dependency-ordered drain
+        with the sink's validator, then queue compaction — the
+        reference's ``errorQueue_retryInterval`` loop
+        (clients/__init__.py:640-755) as a batch job.
+
+        Exactly-once across a crash inside the pass: target merges are
+        ledgered per (tag, pass) so replays no-op, and a re-applied row
+        is state-idempotent anyway (the queue holds the key's NEWEST
+        effective event — per-key FIFO gating guarantees no fresher
+        write reached the target while the key was queued).  Queue
+        removals are MERGE deltas, ledgered the same way.  Returns the
+        rows left in the queue."""
+        if self.dlq is None:
+            return 0
+        fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+        passno = {"n": 0}
+
+        def apply_fn(cands: DataFrame) -> DataFrame:
+            passno["n"] += 1
+            ok = (
+                cands.where(self.validator(cands))
+                if self.validator is not None else cands
+            )
+            bid = f"dlq-{tag}-p{passno['n']}" if tag is not None else None
+            self.target.merge(ok.select(*fields), batch_id=bid)
+            return ok
+
+        left = self.dlq.drain(apply_fn, max_passes=max_passes)
+        self.dlq.maintain()
+        return left
 
     def maintain(self) -> None:
         """Out-of-band maintenance: fold target deltas into a fresh
@@ -76,7 +144,7 @@ class CdcPipeline:
     def start(self) -> StreamingQuery:
         return (
             self.changes()
-            .writeStream.foreachBatch(self.sink)
+            .writeStream.foreachBatch(self._on_batch)
             .option("checkpointLocation", self.checkpoint)
             .outputMode("append")
             .start()

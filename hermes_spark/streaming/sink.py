@@ -115,6 +115,13 @@ class ExactlyOnceSink:
             self.dlq is None
             or f"sink-{batch_id}" in self.dlq.table.committed_batch_ids()
         )
+        if t_done:
+            # replayed batch: the MERGE will no-op, but the batch plan
+            # must still execute end-to-end — Spark validates that
+            # foreachBatch drove every partition of a stateful operator
+            # (state-store commits), and an early return fails the
+            # batch with STATE_STORE_COMMIT_VALIDATION_FAILED
+            changes.count()
         if t_done and q_done:
             return  # replayed batch — exactly-once no-op
         if self.dlq is None:

@@ -90,3 +90,58 @@ def test_sqlite_source_snapshot(spark, tmp_work):
     import pytest
     with pytest.raises(ValueError):
         snapshot(spark, f"sqlite:{db}?table=users; DROP TABLE users")
+
+
+def test_ldap_source_snapshot_with_stub(spark):
+    """S5 analog (reference plugins/datasources/ldap/ldap.py:92-128):
+    subtree search → rows, with LDAP's list-of-bytes values shaped by
+    the declared schema (ArrayType keeps the decoded list, scalar
+    fields take the single value, absent attrs are NULL).  The network
+    client is injectable; the sandbox has no ldap3, so the registry
+    must raise with guidance when no search_fn is given."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from hermes_spark.sources import snapshot
+
+    seen = {}
+
+    def fake_search(base, scope, flt, attrs):
+        seen.update(base=base, scope=scope, flt=flt, attrs=tuple(attrs))
+        return [
+            ("uid=alice,ou=people,dc=x", {
+                "uid": [b"alice"],
+                "cn": [b"Alice A"],
+                "mail": [b"a@x.org", b"alice@x.org"],
+            }),
+            ("uid=bob,ou=people,dc=x", {
+                "uid": [b"bob"],
+                # cn absent, single-valued mail
+                "mail": [b"b@x.org"],
+            }),
+        ]
+
+    schema = T.StructType([
+        T.StructField("uid", T.StringType(), False),
+        T.StructField("cn", T.StringType(), True),
+        T.StructField("mail", T.ArrayType(T.StringType()), True),
+    ])
+    df = snapshot(
+        spark,
+        "ldap://ldap.example:389/ou=people,dc=x"
+        "?filter=(objectClass=person)&attrs=uid,cn,mail&scope=sub",
+        schema=schema,
+        search_fn=fake_search,
+    )
+    rows = {r.uid: r for r in df.collect()}
+    assert seen == {
+        "base": "ou=people,dc=x", "scope": "sub",
+        "flt": "(objectClass=person)", "attrs": ("uid", "cn", "mail"),
+    }
+    assert rows["alice"].cn == "Alice A"
+    assert rows["alice"].mail == ["a@x.org", "alice@x.org"]
+    assert rows["bob"].cn is None and rows["bob"].mail == ["b@x.org"]
+
+    # no client + no injected search_fn → loud gate, not a deep failure
+    with pytest.raises(RuntimeError, match="ldap3"):
+        snapshot(spark, "ldap://h/dc=x?attrs=uid", schema=schema)

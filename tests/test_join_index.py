@@ -167,3 +167,52 @@ def test_join_mode_resume_with_midstream_maintenance(spark, tmp_work):
     b = p2.target_live().select(*cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert b.where("conv_id = 'c1' and op = 'update'").count() == 3
+
+
+def test_adaptive_pruning_equivalence_and_switch(spark, tmp_work):
+    """Dense batches must flip the sink into all-bucket (single-job)
+    mode; sparse batches flip it back — and both regimes produce the
+    identical target state."""
+    # forced-prune sink vs adaptive sink over the same batches
+    t_a = ParquetMergeTable(
+        spark, f"{tmp_work}/ta", key=KEY, schema=JOIN_TARGET_SCHEMA,
+        tombstone_mode="retain", compact_every=None, partition_by=["_bucket"],
+    )
+    t_b = ParquetMergeTable(
+        spark, f"{tmp_work}/tb", key=KEY, schema=JOIN_TARGET_SCHEMA,
+        tombstone_mode="retain", compact_every=None, partition_by=["_bucket"],
+    )
+    always_prune = JoinCdcSink(t_a, N_BUCKETS, prune_threshold=2.0)
+    adaptive = JoinCdcSink(t_b, N_BUCKETS, prune_threshold=0.5)
+
+    # batch 0: dense (many convs → touches ~all buckets)
+    dense = []
+    for c in range(24):
+        dense += _rows(f"conv-{c}", 3, "v1")
+    # batch 1: updates + a delete, still dense
+    dense2 = []
+    for c in range(24):
+        dense2 += _rows(f"conv-{c}", 2, "v2", t0="2026-01-02 00:00:00")
+    # batch 2: sparse (one conv)
+    sparse = _rows("conv-3", 2, "v3", t0="2026-01-03 00:00:00")
+
+    for i, rows in enumerate([dense, dense2, sparse]):
+        always_prune(_batch(spark, rows), i)
+        adaptive(_batch(spark, rows), i)
+
+    # regime switching actually happened: after the dense batch the
+    # adaptive sink knows ~all buckets were touched (skips the collect),
+    # after the sparse batch it knows few were
+    assert adaptive._last_touched is not None
+    assert adaptive._last_touched < 0.5 * N_BUCKETS  # sparse batch last
+    assert always_prune._last_touched == adaptive._last_touched
+
+    a = sorted(
+        (r.conv_id, r.turn_idx, r.op, r.text, r.cks64)
+        for r in t_a.read().collect()
+    )
+    b = sorted(
+        (r.conv_id, r.turn_idx, r.op, r.text, r.cks64)
+        for r in t_b.read().collect()
+    )
+    assert a == b and len(a) > 0

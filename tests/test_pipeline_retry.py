@@ -1,0 +1,129 @@
+"""Scheduled error-queue retry wired into the streaming pipeline — the
+reference's ``errorQueue_retryInterval`` operational loop
+(clients/__init__.py:640-755): transient failures heal WITHOUT operator
+intervention, and exactly-once survives a crash inside a drain pass."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hermes_spark.schema import TRANSCRIPT_SCHEMA
+from hermes_spark.streaming.pipeline import CdcPipeline
+
+
+def _row(conv, idx, text, t):
+    return (conv, idx, "user", text, None, dt.datetime.fromisoformat(t))
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+VALIDATOR = lambda df: ~F.col("text").contains("POISON")  # noqa: E731
+
+B0 = [
+    _row("a", 0, "hello", "2026-01-01 00:00:00"),
+    _row("b", 0, "POISON v1", "2026-01-01 00:00:01"),
+]
+B1 = [
+    # a later UPDATE fixes the poisoned key: it gates into the queue
+    # (per-key FIFO), compacts over the failed event, and the scheduled
+    # drain then applies it — no operator touched anything
+    _row("b", 0, "fixed v2", "2026-01-01 01:00:00"),
+    _row("c", 0, "new conv", "2026-01-01 01:00:01"),
+]
+
+EXPECT = {("a", 0): "hello", ("b", 0): "fixed v2", ("c", 0): "new conv"}
+
+
+def _target_state(pipe):
+    return {
+        (r.conv_id, r.turn_idx): r.text for r in pipe.target_live().collect()
+    }
+
+
+def test_transient_failure_heals_via_scheduled_drain(spark, tmp_work):
+    src = f"{tmp_work}/src"
+    _write(spark, src, B0)
+    _write(spark, src, B1)
+    pipe = CdcPipeline(
+        spark, src, f"{tmp_work}/run", max_files_per_trigger=1,
+        validator=VALIDATOR, retry_every=1,
+    )
+    pipe.run_available()
+    assert _target_state(pipe) == EXPECT
+    assert pipe.dlq.read().count() == 0  # queue drained itself
+
+
+def test_crash_inside_drain_pass_resumes_exactly_once(spark, tmp_work):
+    """foreachBatch = sink + drain; a crash inside the drain fails the
+    micro-batch AFTER both sink ledgers committed.  On restart the
+    batch replays: the sink no-ops on both ledgers, the drain re-runs
+    (its target merges are (tag, pass)-ledgered), and the final state
+    equals the uninterrupted run."""
+    src = f"{tmp_work}/src"
+    _write(spark, src, B0)
+    _write(spark, src, B1)
+    pipe = CdcPipeline(
+        spark, src, f"{tmp_work}/run", max_files_per_trigger=1,
+        validator=VALIDATOR, retry_every=1,
+    )
+    real_resolve = pipe.dlq.resolve
+    calls = {"n": 0}
+
+    def crashing_resolve(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash inside drain")
+        return real_resolve(*a, **kw)
+
+    pipe.dlq.resolve = crashing_resolve
+    q = pipe.start()
+    with pytest.raises(Exception):  # StreamingQueryException wrapping the crash
+        q.processAllAvailable()
+        q.awaitTermination(10)
+    try:
+        q.stop()
+    except Exception:
+        pass
+    # the crash hit during batch 1's drain (batch 1 carries the fix
+    # that makes the queued key pass validation)
+    assert calls["n"] == 1
+
+    # fresh process, same checkpoint/work dir
+    pipe2 = CdcPipeline(
+        spark, src, f"{tmp_work}/run", max_files_per_trigger=1,
+        validator=VALIDATOR, retry_every=1,
+    )
+    pipe2.run_available()
+    assert _target_state(pipe2) == EXPECT
+    assert pipe2.dlq.read().count() == 0
+    # no duplicate rows snuck in through the replayed drain
+    assert pipe2.target.read().count() == len(EXPECT)
+
+
+def test_retry_queue_is_idempotent_per_tag(spark, tmp_work):
+    """Re-running a drain pass with the same tag (the replay case) must
+    not re-apply: target merges are ledgered per (tag, pass)."""
+    src = f"{tmp_work}/src"
+    _write(spark, src, B0)
+    _write(spark, src, B1)
+    pipe = CdcPipeline(
+        spark, src, f"{tmp_work}/run", max_files_per_trigger=1,
+        validator=VALIDATOR, retry_every=None,   # no scheduled drain
+    )
+    pipe.run_available()
+    assert pipe.dlq.read().count() == 1          # fix is queued, undrained
+    assert pipe.retry_queue(tag="manual") == 0
+    v = pipe.target.current_version()
+    # same tag again: every merge no-ops, nothing to resolve
+    assert pipe.retry_queue(tag="manual") == 0
+    assert _target_state(pipe) == EXPECT
+    # only the (empty) queue maintenance may move the queue table; the
+    # TARGET must not have taken any new commit
+    assert pipe.target.current_version() == v
