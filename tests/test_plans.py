@@ -90,6 +90,7 @@ def test_headline_queries_have_no_python_udfs(spark, sf_dir):
     for name in [
         "cdc_diff", "merkle_events", "sessionize", "tumbling_hourly",
         "range_join", "compact_events", "compact_events_map", "fanout",
+        "fanout_cache",
         "merge_substitute_cache", "exact_dedup", "ngram_jaccard",
         "lang_id", "quality", "token_count", "fingerprint",
     ]:
