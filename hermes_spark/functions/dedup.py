@@ -316,7 +316,17 @@ def simhash_near_pairs(
     """Near-dup pairs by Hamming distance ≤ max_hamming, using the
     pigeonhole band trick (any pair within distance d < bands shares at
     least one exact 16-bit band) — join on band equality, then exact
-    popcount filter."""
+    popcount filter.
+
+    Scale sizing (measured, BENCH_r04 candidate telemetry): band-join
+    candidate volume grows ∝ n²/2^band_width — 93× at 10× docs with
+    64-bit signatures and 4×16-bit bands.  16-bit bands are already
+    the WIDEST lossless choice for d ≤ 3 at 64 bits (pigeonhole needs
+    d < bands), so at ≥10⁸-doc scale move to 128-bit signatures
+    (4×32-bit bands, collisions ∝ n²/2³² — two xxhash64 seeds per
+    token) or prefilter near-constant documents by token doc-freq
+    before signing; the per-band join itself stays uniform and
+    broadcast-free either way."""
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [

@@ -253,7 +253,14 @@ def cosine_neardup_pairs(
     (P(plane splits a pair) = θ/π, tiny at near-dup angles, and the
     1-bit probes cover single-plane disagreements).  The join is keyed
     on bucket id — candidate volume ~n²/2^planes per bucket, linear
-    scale path, no cross join anywhere."""
+    scale path, no cross join anywhere.
+
+    Scale sizing (measured, BENCH_r04 candidate telemetry): candidates
+    grew 13.9× at 4× vectors with n_planes=12, i.e. ∝ n² as the
+    formula predicts — hold per-bucket density constant by growing
+    n_planes with log₂(n): 12 planes ↔ ~4k vectors, ~30 planes ↔ 10⁹
+    (recall per pair decays only linearly in planes via the θ/π bound,
+    recovered by the 1-bit probes)."""
     b = hyperplane_buckets(
         df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
