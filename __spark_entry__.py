@@ -811,6 +811,71 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash — the scale path the round-4 candidate telemetry
+    motivated (64-bit band candidates grow ∝ n²/2¹⁶: measured 93× at
+    10× docs; 32-bit bands push that to n²/2³²).  Verdict booleans
+    computed in-plan (signature values are engine-specific, like
+    q_simhash):
+
+    1. semantics — a noisy copy must be Hamming-close (≤12 of 128
+       bits — the same 9% bit-fraction as the 64-bit variant's ≤6:
+       per-bit flip probability is width-independent, so the expected
+       distance scales with signature width) for ≥90% of docs;
+    2. losslessness — 4×32-bit pigeonhole retrieval at d≤3 finds
+       EXACTLY the directly-computed Hamming≤3 true pairs;
+    3. scale — the 128-bit band-candidate count is strictly below the
+       64-bit operator's on the same corpus (the quadratic-term fix,
+       asserted on data rather than by formula)."""
+    from hermes_spark.functions.dedup import (
+        simhash,
+        simhash128,
+        simhash128_near_pairs,
+        simhash_near_pairs,
+    )
+
+    both = _docs_plus_noisy(spark, sf_dir)
+    sigs = simhash128(both)
+    found = (
+        simhash128_near_pairs(sigs, max_hamming=3)
+        .where(F.col("doc_b") - F.col("doc_a") == 10000)
+        .select("doc_a")
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig_hi").alias("a_hi"), F.col("sig_lo").alias("a_lo"))
+    b = sigs.select((F.col("doc_id") - 10000).alias("doc_a"),
+                    F.col("sig_hi").alias("b_hi"), F.col("sig_lo").alias("b_lo"))
+    ham = (
+        F.bit_count(F.expr("a_hi ^ b_hi")) + F.bit_count(F.expr("a_lo ^ b_lo"))
+    )
+    joined = a.join(b, "doc_a").withColumn("_h", ham)
+    exact_true = joined.where(F.col("_h") <= 3).select("doc_a")
+    near6 = joined.where(F.col("_h") <= 12).select("doc_a")
+    sym_diff = exact_true.join(found, "doc_a", "left_anti").unionByName(
+        found.join(exact_true, "doc_a", "left_anti")
+    )
+    # candidate volumes: band-join pairs pre-popcount (max_hamming
+    # vacuous ⇒ pure candidate set), 64- vs 128-bit on the same corpus
+    c64 = simhash_near_pairs(simhash(both), max_hamming=64, bands=4)
+    c128 = simhash128_near_pairs(sigs, max_hamming=128)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("_diff")))
+        .crossJoin(near6.agg(F.count(F.lit(1)).alias("_near")))
+        .crossJoin(c64.agg(F.count(F.lit(1)).alias("_c64")))
+        .crossJoin(c128.agg(F.count(F.lit(1)).alias("_c128")))
+        .select(
+            "n_docs",
+            (F.col("_diff") == 0).alias("banded_lossless_on_true_pairs"),
+            (F.col("_near") * 10 >= F.col("n_docs") * 9).alias(
+                "noisy_copies_near_ge_90pct"
+            ),
+            (F.col("_c128") < F.col("_c64")).alias("band_candidates_reduced"),
+        )
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing with a real oracle on the checkable part:
     n_bytes is computed in the Python worker from the ACTUAL binary
@@ -997,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash128": q_simhash128,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
@@ -1451,6 +1517,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    TRUE AS banded_lossless_on_true_pairs,
                    TRUE AS noisy_copies_near_ge_90pct
+            FROM documents
+        """,
+        "simhash128": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS banded_lossless_on_true_pairs,
+                   TRUE AS noisy_copies_near_ge_90pct,
+                   TRUE AS band_candidates_reduced
             FROM documents
         """,
         "ann_lsh": """

@@ -125,6 +125,8 @@ def bench_candidate_telemetry(spark, sf_dir: str) -> dict[str, int]:
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
         simhash,
+        simhash128,
+        simhash128_near_pairs,
         simhash_near_pairs,
     )
     from hermes_spark.functions.similarity import cosine_neardup_pairs
@@ -146,6 +148,13 @@ def bench_candidate_telemetry(spark, sf_dir: str) -> dict[str, int]:
     ).count()
     out["simhash_pairs"] = simhash_near_pairs(sig).count()
     sig.unpersist()
+    # the 128-bit scale path: same corpus, 32-bit bands — candidate
+    # volume should collapse from ~n²/2^16 to ~n²/2^32
+    sig128 = simhash128(both).persist()
+    out["simhash128_band_candidates"] = simhash128_near_pairs(
+        sig128, max_hamming=128
+    ).count()
+    sig128.unpersist()
     emb = em._t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
