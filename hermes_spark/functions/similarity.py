@@ -236,14 +236,28 @@ def ivf_topk(
     )
 
 
+def auto_n_planes(n_vectors: int, target_bucket_occupancy: float = 2.0) -> int:
+    """The sizing formula the round-4 candidate telemetry grounds:
+    per-bucket candidate volume is ~occupancy²/2 per bucket with
+    occupancy = n/2^planes, so holding occupancy constant keeps total
+    candidates LINEAR in n — planes = ⌈log₂(n / occupancy)⌉, clamped
+    to [4, 62] (bucket ids are a signed 64-bit word)."""
+    import math
+
+    if n_vectors <= 1:
+        return 4
+    return max(4, min(62, math.ceil(math.log2(n_vectors / target_bucket_occupancy))))
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.99,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_occupancy: float = 2.0,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — the embedding member of the
     dedup family: hyperplane-LSH buckets generate candidates (own
@@ -260,7 +274,11 @@ def cosine_neardup_pairs(
     formula predicts — hold per-bucket density constant by growing
     n_planes with log₂(n): 12 planes ↔ ~4k vectors, ~30 planes ↔ 10⁹
     (recall per pair decays only linearly in planes via the θ/π bound,
-    recovered by the 1-bit probes)."""
+    recovered by the 1-bit probes).  Pass ``n_planes=None`` to apply
+    that formula automatically (``auto_n_planes``; costs one count()
+    of the input — a batch operator's driver action, not per-row)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_occupancy)
     b = hyperplane_buckets(
         df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")

@@ -186,3 +186,34 @@ def test_simhash128_lossless_and_fewer_candidates(spark):
     c128 = simhash128_near_pairs(sigs, max_hamming=128).count()
     assert c128 <= c64
     sigs.unpersist()
+
+
+def test_auto_n_planes_formula_and_neardup(spark):
+    """n_planes=None sizes the hyperplane count from the corpus so
+    per-bucket occupancy — hence candidate volume per vector — stays
+    constant as data grows (the round-4 telemetry sizing formula)."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.functions.similarity import (
+        auto_n_planes,
+        cosine_neardup_pairs,
+    )
+
+    assert auto_n_planes(4_000) == 11
+    assert auto_n_planes(1_000_000_000) == 29
+    assert auto_n_planes(1) == 4          # floor
+    assert auto_n_planes(1 << 63, 1.0) == 62  # signed-word ceiling
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 16)).astype(float)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows += [(i + 100000, (v * 1.0001).tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = (
+        cosine_neardup_pairs(df, dim=16, threshold=0.999, n_planes=None)
+        .where(F.col("vec_b") - F.col("vec_a") == 100000)
+        .count()
+    )
+    assert found >= 108  # ≥90% twin recall under auto sizing
