@@ -79,3 +79,43 @@ def test_merge_stream_100_batches_flat(spark):
     t.compact()
     assert t.read().count() == 1
     t.drop()
+
+
+def test_disk_bounded_with_periodic_maintenance(spark):
+    """Over a long stream with periodic maintain() (compact+vacuum),
+    on-disk bytes must stay O(live state) — bounded by a constant
+    multiple of a single snapshot — instead of O(total data ever
+    written) (round-3 verdict: versions/v* grew forever)."""
+    import os
+
+    work = scratch_dir("longdisk")
+    t = ParquetMergeTable(
+        spark, work + "/t", key=["id"], schema=SCHEMA, compact_every=None
+    )
+
+    def disk_bytes() -> int:
+        total = 0
+        for root, _d, files in os.walk(work + "/t/versions"):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    sizes = []
+    for b in range(60):
+        df = spark.createDataFrame(
+            [(b % 7, "insert", f"v{b}")], SCHEMA
+        ).coalesce(1)
+        t.merge(df, batch_id=b)
+        if b % 10 == 9:
+            t.compact()
+            t.vacuum()
+            sizes.append(disk_bytes())
+
+    # live state is 7 keys forever; post-maintenance footprint must be
+    # flat (not growing with batches written)
+    assert sizes[-1] <= 2 * sizes[0], sizes
+    assert t.read().count() == 7
+    # replay ledger survived all the vacuums
+    assert t.merge(
+        spark.createDataFrame([(0, "insert", "x")], SCHEMA), batch_id=0
+    ) is None
+    t.drop()
