@@ -109,13 +109,18 @@ class CdcPipeline:
         passno = {"n": 0}
 
         def apply_fn(cands: DataFrame) -> DataFrame:
+            import time
+
             passno["n"] += 1
             ok = (
                 cands.where(self.validator(cands))
                 if self.validator is not None else cands
             )
             bid = f"dlq-{tag}-p{passno['n']}" if tag is not None else None
-            self.target.merge(ok.select(*fields), batch_id=bid)
+            # through the sink's observed apply: drain merges land in
+            # the lineage/metrics surfaces like any other commit (the
+            # reference counts retried events in its status counters)
+            self.sink._apply(ok.select(*fields), bid, time.monotonic())
             return ok
 
         left = self.dlq.drain(apply_fn, max_passes=max_passes)

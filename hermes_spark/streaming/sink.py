@@ -36,9 +36,12 @@ from pyspark.sql import types as T
 from hermes_spark.operators.ordering import with_apply_order
 from hermes_spark.tables import ParquetMergeTable
 
+# batch ids are int|str in the ledger (streaming batch numbers, but
+# also "dlq-<tag>-p<n>" drain merges and "sink-N" queue entries) — the
+# metrics surfaces carry them verbatim as strings
 METRICS_SCHEMA = T.StructType(
     [
-        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("batch_id", T.StringType(), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("rows", T.LongType(), True),
         T.StructField("wall_ms", T.LongType(), True),
@@ -47,7 +50,7 @@ METRICS_SCHEMA = T.StructType(
 
 PARTITION_METRICS_SCHEMA = T.StructType(
     [
-        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("batch_id", T.StringType(), True),
         T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("rows", T.LongType(), True),
@@ -230,7 +233,7 @@ class ExactlyOnceSink:
             for op in ("inserts", "updates", "deletes"):
                 rows.append(
                     (
-                        int(c["batch_id"]),
+                        str(c["batch_id"]),
                         op.rstrip("s"),
                         int(info.get(op, 0)),
                         int(info.get("wall_ms", 0)),
@@ -254,7 +257,7 @@ class ExactlyOnceSink:
                 d.withColumn("partition_id", F.spark_partition_id())
                 .groupBy("partition_id", "op")
                 .agg(F.count(F.lit(1)).cast("long").alias("rows"))
-                .withColumn("batch_id", F.lit(int(c["batch_id"])))
+                .withColumn("batch_id", F.lit(str(c["batch_id"])))
                 .select("batch_id", "partition_id", "op", "rows")
             )
         if not parts:

@@ -127,3 +127,21 @@ def test_retry_queue_is_idempotent_per_tag(spark, tmp_work):
     # only the (empty) queue maintenance may move the queue table; the
     # TARGET must not have taken any new commit
     assert pipe.target.current_version() == v
+
+
+def test_metrics_survive_string_drain_batch_ids(spark, tmp_work):
+    """Drain merges carry string batch ids ('dlq-<tag>-p<n>'); the
+    metrics surfaces must fold them verbatim instead of int-coercing
+    (which raised ValueError after the first drain)."""
+    src = f"{tmp_work}/src"
+    _write(spark, src, B0)
+    _write(spark, src, B1)
+    pipe = CdcPipeline(
+        spark, src, f"{tmp_work}/run", max_files_per_trigger=1,
+        validator=VALIDATOR, retry_every=1,
+    )
+    pipe.run_available()
+    m = pipe.sink.metrics()
+    ids = {r.batch_id for r in m.select("batch_id").distinct().collect()}
+    assert any(i.startswith("dlq-") for i in ids), ids
+    assert pipe.sink.partition_lineage().count() >= 0  # folds without error
