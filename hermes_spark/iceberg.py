@@ -143,9 +143,16 @@ def purge_merge_sql(identifier: str, view: str, key: Sequence[str]) -> str:
 
 
 def expire_snapshots_sql(identifier: str, retain_last: int = 1) -> str:
+    """``older_than`` is set far-future: the procedure only expires
+    snapshots OLDER than that cutoff (default now-5d), so without it
+    recent snapshots — including the ones ``purge_columns`` must
+    destroy — would survive readable for days.  ``retain_last`` keeps
+    the live snapshot(s), matching the local twin's vacuum (only the
+    live view survives)."""
     catalog, table = identifier.split(".", 1)
     return (
         f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+        f"older_than => TIMESTAMP '9999-12-31 00:00:00', "
         f"retain_last => {int(retain_last)})"
     )
 
@@ -230,12 +237,26 @@ class IcebergTable:
     def committed_batch_ids(self) -> set:
         """Batch ids as STRINGS, verbatim from the snapshot summaries —
         the sink writes ids like ``'sink-3'``; int-coercing them raised
-        ValueError and made replays undetectable."""
+        ValueError and made replays undetectable.  Unions the
+        property-latched ids of EMPTY batches: a MERGE that changes no
+        rows creates no Iceberg snapshot, so those commits are recorded
+        as ``hermes.batch.<id>`` table properties instead (otherwise an
+        all-stale batch would replay forever and its persisted DLQ
+        split would never enqueue)."""
         rows = self.spark.sql(
             f"SELECT summary['{self.BATCH_PROP}'] AS b "
             f"FROM {self.identifier}.snapshots"
         ).collect()
-        return {r.b for r in rows if r.b is not None}
+        ids = {r.b for r in rows if r.b is not None}
+        props = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.identifier}"
+        ).collect()
+        ids.update(
+            r.key[len("hermes.batch."):]
+            for r in props
+            if r.key.startswith("hermes.batch.")
+        )
+        return ids
 
     def current_version(self) -> int | None:
         rows = self.spark.sql(
@@ -269,6 +290,19 @@ class IcebergTable:
         return side.where(side["_sink_batch_id"] == rows[0].b).drop(
             "_sink_batch_id"
         )
+
+    def read_sidecar_of_batch(self, batch_id: int | str) -> DataFrame | None:
+        """Batch-keyed sidecar lookup — works for EMPTY batches too
+        (they have no snapshot, only the property latch; the sidecar
+        table is keyed by batch id directly)."""
+        try:
+            side = self.spark.read.table(self._sidecar_identifier)
+        except Exception:
+            return None
+        out = side.where(side["_sink_batch_id"] == str(batch_id)).drop(
+            "_sink_batch_id"
+        )
+        return out
 
     # -- writes --------------------------------------------------------
 
@@ -305,11 +339,18 @@ class IcebergTable:
         if sidecar is not None and batch_id is not None:
             # before the MERGE: the sink reads the split back only after
             # the main commit is visible, so sidecar-first ordering means
-            # a visible commit always finds its split
+            # a visible commit always finds its split.  The append is
+            # made replay-idempotent by deleting any same-id rows first
+            # (a crash between sidecar write and MERGE commit re-runs
+            # this path; a plain append would duplicate the split)
             from pyspark.sql import functions as F
 
             tagged = sidecar.withColumn("_sink_batch_id", F.lit(str(batch_id)))
             try:
+                self.spark.sql(
+                    f"DELETE FROM {self._sidecar_identifier} "
+                    f"WHERE _sink_batch_id = '{str(batch_id)}'"
+                )
                 tagged.writeTo(self._sidecar_identifier).append()
             except Exception:
                 tagged.writeTo(self._sidecar_identifier).create()
@@ -323,6 +364,16 @@ class IcebergTable:
         run = lambda: self.spark.sql(stmt)  # noqa: E731
         if batch_id is not None:
             self._with_commit_prop(batch_id, run)
+            if self.version_of_batch(batch_id) is None:
+                # the MERGE changed no rows → Iceberg created NO
+                # snapshot and the commit property was never written;
+                # latch the batch id as a table property so replay
+                # detection and sidecar lookup still work
+                self.spark.sql(
+                    set_properties_sql(
+                        self.identifier, {f"hermes.batch.{batch_id}": "1"}
+                    )
+                )
         else:
             run()
         if commit_info:
@@ -433,10 +484,25 @@ class IcebergTable:
             self.spark.sql(purge_merge_sql(self.identifier, view, self.key))
 
     def vacuum(self, keep_sidecars: int = 2) -> list[int]:
-        """``expire_snapshots``: physically expire superseded snapshot
-        files; the sidecar table keeps its last rows (bounded by DLQ
-        traffic, compacted by the same call on the companion table)."""
+        """``expire_snapshots`` on the main table, plus sidecar
+        retention: rows for all but the newest ``keep_sidecars``
+        committed batches are deleted from the companion table and its
+        snapshots expired — without this the sidecar table grows one
+        append per DLQ-splitting batch forever.  Returns [] (Iceberg
+        reports expired files in the procedure output, not versions)."""
         self.spark.sql(expire_snapshots_sql(self.identifier))
+        try:
+            self.spark.sql(
+                f"DELETE FROM {self._sidecar_identifier} "
+                f"WHERE _sink_batch_id NOT IN ("
+                f"SELECT summary['{self.BATCH_PROP}'] "
+                f"FROM {self.identifier}.snapshots "
+                f"WHERE summary['{self.BATCH_PROP}'] IS NOT NULL "
+                f"ORDER BY committed_at DESC LIMIT {int(keep_sidecars)})"
+            )
+            self.spark.sql(expire_snapshots_sql(self._sidecar_identifier))
+        except Exception:
+            pass  # no sidecar table yet
         return []
 
     # -- destructive schema ops ----------------------------------------

@@ -179,9 +179,10 @@ def fanout_events(
         cols = compile_mapping(t.mapping)
         attrs = sorted(cols)
         new_df = eff.select(*base, *[cols[a].alias(a) for a in attrs])
-        old_cols = compile_mapping(t.mapping)  # same specs, over cache names
+        # the same unresolved Column exprs render the OLD values when
+        # selected from the cache frame (resolution is per-DataFrame)
         old_df = cache.select(
-            *key_cols, *[old_cols[a].alias(f"__old_{a}") for a in attrs]
+            *key_cols, *[cols[a].alias(f"__old_{a}") for a in attrs]
         )
         typed = new_df.join(old_df, key_cols, "left")
 

@@ -122,7 +122,9 @@ class JoinCdcSink:
         self._last_touched: int | None = None
 
     def __call__(self, turns: DataFrame, batch_id: int) -> None:
-        if batch_id in self.target.committed_batch_ids():
+        ids = self.target.committed_batch_ids()
+        # format-neutral: Iceberg summaries stamp ids as strings
+        if batch_id in ids or str(batch_id) in ids:
             # replay no-op — but the batch plan must still run so any
             # upstream stateful operator commits its state stores
             # (Spark 4 validates this and fails the batch otherwise)

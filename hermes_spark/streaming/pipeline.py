@@ -48,6 +48,12 @@ class CdcPipeline:
     # heal without operator intervention (errorQueue_retryInterval).
     validator: Callable[[DataFrame], Column] | None = None
     retry_every: int | None = None
+    # FK dependency blocking for the error queue (reference
+    # foreignkeys_policy): child events wait until their errored
+    # parent drains (fk edges as (parent_col, child_col) pairs over
+    # the change-event columns)
+    fk_map: list | None = None
+    foreignkeys_policy: str = "disabled"
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -74,6 +80,8 @@ class CdcPipeline:
                 os.path.join(self.work_dir, "dlq"),
                 key=["conv_id", "turn_idx"],
                 payload_schema=payload,
+                fk_map=self.fk_map,
+                foreignkeys_policy=self.foreignkeys_policy,
             )
         self.sink = ExactlyOnceSink(
             self.target, dlq=self.dlq, validator=self.validator
@@ -96,35 +104,60 @@ class CdcPipeline:
         reference's ``errorQueue_retryInterval`` loop
         (clients/__init__.py:640-755) as a batch job.
 
-        Exactly-once across a crash inside the pass: target merges are
-        ledgered per (tag, pass) so replays no-op, and a re-applied row
-        is state-idempotent anyway (the queue holds the key's NEWEST
-        effective event — per-key FIFO gating guarantees no fresher
-        write reached the target while the key was queued).  Queue
-        removals are MERGE deltas, ledgered the same way.  Returns the
-        rows left in the queue."""
+        Exactly-once across a crash inside the pass: each pass's target
+        merge is ledgered under a CONTENT-STABLE id — ``dlq-<tag>-``
+        plus a hash of the candidate (key, offset) set — so a replay
+        whose pass numbering shifted (earlier passes already resolved
+        their rows before the crash) merges the NEW candidate set
+        instead of silently no-oping against an old pass's ledger entry
+        while resolve still removed the rows (that was a data-loss
+        path: ledgered-but-different pass → rows neither applied nor
+        queued).  Identical candidates replay to the same id → merge
+        no-ops and resolve removes exactly the rows that were already
+        applied.  A re-applied row is also state-idempotent (the queue
+        holds the key's NEWEST effective event — per-key FIFO gating
+        guarantees no fresher write reached the target while the key
+        was queued).  Empty passes commit nothing.  Returns the rows
+        left in the queue."""
         if self.dlq is None:
             return 0
         fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
-        passno = {"n": 0}
+        progress = {"applied": False}
 
         def apply_fn(cands: DataFrame) -> DataFrame:
             import time
 
-            passno["n"] += 1
             ok = (
                 cands.where(self.validator(cands))
                 if self.validator is not None else cands
-            )
-            bid = f"dlq-{tag}-p{passno['n']}" if tag is not None else None
+            ).cache()
+            agg = ok.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.xxhash64(
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                "\x00", "conv_id", "turn_idx", "offset"
+                            )
+                        )
+                    )
+                ).alias("h"),
+            ).first()
+            if agg.n == 0:
+                return ok  # nothing passes — no empty commit churn
+            bid = f"dlq-{tag}-{agg.h}" if tag is not None else None
             # through the sink's observed apply: drain merges land in
             # the lineage/metrics surfaces like any other commit (the
             # reference counts retried events in its status counters)
             self.sink._apply(ok.select(*fields), bid, time.monotonic())
+            progress["applied"] = True
             return ok
 
         left = self.dlq.drain(apply_fn, max_passes=max_passes)
-        self.dlq.maintain()
+        if progress["applied"]:
+            # queue compaction only when the pass moved something — an
+            # idle queue must not rewrite itself every trigger
+            self.dlq.maintain()
         return left
 
     def maintain(self) -> None:

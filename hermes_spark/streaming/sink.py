@@ -111,9 +111,17 @@ class ExactlyOnceSink:
         self.dlq = dlq
         self.validator = validator
 
+    @staticmethod
+    def _in_ledger(batch_id, ids: set) -> bool:
+        """Format-neutral membership: ParquetMergeTable preserves ids
+        verbatim (int stays int), Iceberg snapshot summaries are
+        string-typed — an int-only compare would make every replay
+        undetected on the cluster twin."""
+        return batch_id in ids or str(batch_id) in ids
+
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        t_done = batch_id in self.target.committed_batch_ids()
+        t_done = self._in_ledger(batch_id, self.target.committed_batch_ids())
         q_done = (
             self.dlq is None
             or f"sink-{batch_id}" in self.dlq.table.committed_batch_ids()
@@ -147,10 +155,7 @@ class ExactlyOnceSink:
             process, to_enqueue = self._split_failures(changes)
             self._apply(process, batch_id, t0, sidecar=to_enqueue)
         if not q_done:
-            v = self.target.version_of_batch(batch_id)
-            persisted = (
-                self.target.read_sidecar(v) if v is not None else None
-            )
+            persisted = self.target.read_sidecar_of_batch(batch_id)
             if persisted is not None:
                 self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
 

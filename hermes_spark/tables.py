@@ -255,6 +255,13 @@ class ParquetMergeTable:
         schema = T.StructType.fromJson(json.loads(sj))
         return self.spark.read.schema(schema).parquet(self._sidecar_dir(version))
 
+    def read_sidecar_of_batch(self, batch_id: int | str) -> DataFrame | None:
+        """Batch-keyed sidecar lookup — the sink's replay path (the
+        cluster twin resolves this WITHOUT a snapshot id, since an
+        empty Iceberg MERGE creates none)."""
+        v = self.version_of_batch(batch_id)
+        return self.read_sidecar(v) if v is not None else None
+
     def _write_snapshot(self, df: DataFrame, cols: Sequence[str], out: str) -> None:
         df = df.select(list(cols))
         w = df.write.mode("overwrite")

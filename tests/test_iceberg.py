@@ -81,7 +81,8 @@ def test_ddl_generators():
         "ALTER TABLE c.d.t DROP COLUMN secret"
     )
     assert expire_snapshots_sql("cat.db.t") == (
-        "CALL cat.system.expire_snapshots(table => 'db.t', retain_last => 1)"
+        "CALL cat.system.expire_snapshots(table => 'db.t', "
+        "older_than => TIMESTAMP '9999-12-31 00:00:00', retain_last => 1)"
     )
     assert rewrite_data_files_sql("cat.db.t") == (
         "CALL cat.system.rewrite_data_files(table => 'db.t')"

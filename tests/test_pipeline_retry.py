@@ -6,6 +6,7 @@ intervention, and exactly-once survives a crash inside a drain pass."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -145,3 +146,55 @@ def test_metrics_survive_string_drain_batch_ids(spark, tmp_work):
     ids = {r.batch_id for r in m.select("batch_id").distinct().collect()}
     assert any(i.startswith("dlq-") for i in ids), ids
     assert pipe.sink.partition_lineage().count() >= 0  # folds without error
+
+
+def test_drain_replay_with_shifted_passes_applies_all(spark, tmp_work):
+    """Multi-pass drain with FK blocking, crashed between passes: the
+    replay's pass-1 candidates are the OLD pass-2 rows.  Pass-number
+    batch ids would no-op the merge against pass 1's ledger entry while
+    resolve still removed the rows (silent loss); content-stable ids
+    must apply them."""
+    os.makedirs(f"{tmp_work}/src", exist_ok=True)
+    pipe = CdcPipeline(
+        spark, f"{tmp_work}/src", f"{tmp_work}/run",
+        validator=VALIDATOR, retry_every=None,
+        # an event whose conv_id equals a queued event's `tool` is that
+        # event's FK-parent — it must wait for the child to drain
+        fk_map=[("conv_id", "tool")], foreignkeys_policy="on_every_event",
+    )
+    ddl = ("conv_id string, turn_idx int, offset long, op string, "
+           "role string, text string, tool string, ts string, cksum string")
+    rows = [
+        # child: names p1 as its parent via tool
+        ("c1", 0, 1, "insert", "user", "child ok", "p1",
+         "2026-01-01 00:00:00", "k1"),
+        # parent: blocked from pass 1 while the child is queued
+        ("p1", 0, 2, "insert", "user", "parent ok", None,
+         "2026-01-01 00:00:01", "k2"),
+    ]
+    ev = spark.createDataFrame(rows, ddl).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    pipe.dlq.enqueue(ev, batch_id="seed")
+    # sanity: FK blocking makes this a two-pass drain
+    assert [r.conv_id for r in pipe.dlq.retry_candidates().collect()] == ["c1"]
+
+    real_apply = pipe.sink._apply
+    calls = {"n": 0}
+
+    def crashing_apply(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash between passes")
+        return real_apply(*a, **kw)
+
+    pipe.sink._apply = crashing_apply
+    with pytest.raises(RuntimeError, match="between passes"):
+        pipe.retry_queue(tag="t")
+    pipe.sink._apply = real_apply
+    # pass 1 applied + resolved the child; the parent is still queued
+    assert [r.conv_id for r in pipe.dlq.read().collect()] == ["p1"]
+
+    assert pipe.retry_queue(tag="t") == 0  # replay with the SAME tag
+    got = {(r.conv_id, r.turn_idx): r.text for r in pipe.target_live().collect()}
+    assert got == {("c1", 0): "child ok", ("p1", 0): "parent ok"}
