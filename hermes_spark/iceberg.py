@@ -122,6 +122,17 @@ def drop_columns_sql(identifier: str, cols: Sequence[str]) -> str:
     return f"ALTER TABLE {identifier} DROP COLUMN " + ", ".join(cols)
 
 
+def alter_column_type_sql(identifier: str, col: str, new_type: str) -> str:
+    return f"ALTER TABLE {identifier} ALTER COLUMN {col} TYPE {new_type}"
+
+
+def _q(v) -> str:
+    """Single-quote escape for SQL string literals (batch ids embed
+    caller-supplied retry tags — an unescaped quote breaks the
+    statement mid-commit)."""
+    return str(v).replace("'", "''")
+
+
 def set_properties_sql(identifier: str, props: dict[str, str]) -> str:
     """ALTER TABLE SET TBLPROPERTIES with single-quote escaping."""
     kv = ", ".join(
@@ -248,14 +259,7 @@ class IcebergTable:
             f"FROM {self.identifier}.snapshots"
         ).collect()
         ids = {r.b for r in rows if r.b is not None}
-        props = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self.identifier}"
-        ).collect()
-        ids.update(
-            r.key[len("hermes.batch."):]
-            for r in props
-            if r.key.startswith("hermes.batch.")
-        )
+        ids.update(self._latched_batch_ids())
         return ids
 
     def current_version(self) -> int | None:
@@ -268,10 +272,34 @@ class IcebergTable:
     def version_of_batch(self, batch_id: int | str) -> int | None:
         rows = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots "
-            f"WHERE summary['{self.BATCH_PROP}'] = '{str(batch_id)}' "
+            f"WHERE summary['{self.BATCH_PROP}'] = '{_q(batch_id)}' "
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return rows[0].snapshot_id if rows else None
+
+    def _latched_batch_ids(self) -> set:
+        """Batch ids committed WITHOUT a snapshot (empty MERGEs and
+        ``mark_batch``) — recorded as ``hermes.batch.<id>`` table
+        properties."""
+        props = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.identifier}"
+        ).collect()
+        return {
+            r.key[len("hermes.batch."):]
+            for r in props
+            if r.key.startswith("hermes.batch.")
+        }
+
+    def mark_batch(self, batch_id: int | str) -> None:
+        """Latch a batch id as committed without writing data (the
+        property analog of the local twin's zero-job ledger line)."""
+        if str(batch_id) in self.committed_batch_ids():
+            return
+        self.spark.sql(
+            set_properties_sql(
+                self.identifier, {f"hermes.batch.{batch_id}": "1"}
+            )
+        )
 
     def read_sidecar(self, version: int) -> DataFrame | None:
         """The persisted DLQ-split of the commit with this snapshot id
@@ -349,7 +377,7 @@ class IcebergTable:
             try:
                 self.spark.sql(
                     f"DELETE FROM {self._sidecar_identifier} "
-                    f"WHERE _sink_batch_id = '{str(batch_id)}'"
+                    f"WHERE _sink_batch_id = '{_q(batch_id)}'"
                 )
                 tagged.writeTo(self._sidecar_identifier).append()
             except Exception:
@@ -364,21 +392,27 @@ class IcebergTable:
         run = lambda: self.spark.sql(stmt)  # noqa: E731
         if batch_id is not None:
             self._with_commit_prop(batch_id, run)
-            if self.version_of_batch(batch_id) is None:
+            v = self.version_of_batch(batch_id)
+            if v is None:
                 # the MERGE changed no rows → Iceberg created NO
                 # snapshot and the commit property was never written;
                 # latch the batch id as a table property so replay
-                # detection and sidecar lookup still work
+                # detection and sidecar lookup still work.  The commit
+                # marker is batch-scoped — returning current_version()
+                # here would hand the PREVIOUS batch's snapshot id to
+                # annotate_commit, overwriting its lineage.
                 self.spark.sql(
                     set_properties_sql(
                         self.identifier, {f"hermes.batch.{batch_id}": "1"}
                     )
                 )
+                v = f"batch-{batch_id}"
         else:
             run()
-        if commit_info:
-            self.annotate_last_commit(commit_info)
-        return self.current_version()
+            v = self.current_version()
+        if commit_info and v is not None:
+            self.annotate_commit(v, commit_info)
+        return v
 
     def overwrite(self, df: DataFrame, batch_id: int | str | None = None) -> None:
         w = df.select([f.name for f in self.schema.fields]).writeTo(
@@ -492,13 +526,21 @@ class IcebergTable:
         reports expired files in the procedure output, not versions)."""
         self.spark.sql(expire_snapshots_sql(self.identifier))
         try:
+            # property-latched batches (empty MERGEs) have NO snapshot
+            # — their sidecar rows hold the only copy of the DLQ split,
+            # so retention keeps them (conservatively for as long as
+            # the latch exists: this table cannot see the queue ledger,
+            # and all-gated batches are rare)
+            latched = ", ".join(f"'{_q(b)}'" for b in self._latched_batch_ids())
+            guard = f"AND _sink_batch_id NOT IN ({latched}) " if latched else ""
             self.spark.sql(
                 f"DELETE FROM {self._sidecar_identifier} "
                 f"WHERE _sink_batch_id NOT IN ("
                 f"SELECT summary['{self.BATCH_PROP}'] "
                 f"FROM {self.identifier}.snapshots "
                 f"WHERE summary['{self.BATCH_PROP}'] IS NOT NULL "
-                f"ORDER BY committed_at DESC LIMIT {int(keep_sidecars)})"
+                f"ORDER BY committed_at DESC LIMIT {int(keep_sidecars)}) "
+                f"{guard}"
             )
             self.spark.sql(expire_snapshots_sql(self._sidecar_identifier))
         except Exception:
@@ -510,15 +552,37 @@ class IcebergTable:
     def migrate_key(
         self, new_key: Sequence[str], transform, new_schema: T.StructType
     ) -> None:
-        """Live pkey migration: re-key every row (tombstones included)
-        via ``transform`` and replace the table contents — the batch-id
-        history lives in snapshot summaries and survives."""
-        migrated = transform(self.read(op_col=None))
+        """Live pkey migration: evolve the table's columns to the new
+        schema FIRST (Iceberg does not auto-evolve on write — an
+        int→tuple migration adds key columns the table was created
+        without, and the overwrite would fail on the unknown column),
+        then re-key every row (tombstones included) via ``transform``
+        and replace the contents.  The batch-id history lives in
+        snapshot summaries and survives."""
+        from hermes_spark.operators.events import diff_schemas
+
+        current = self.read(op_col=None)
+        diff = diff_schemas(self.schema, new_schema)
+        by_name = {f.name: f for f in new_schema.fields}
+        if diff.added:
+            self.spark.sql(
+                add_columns_sql(
+                    self.identifier,
+                    [(c, by_name[c].dataType.simpleString()) for c in diff.added],
+                )
+            )
+        for col, _old_t, new_t in diff.retyped:
+            self.spark.sql(alter_column_type_sql(self.identifier, col, new_t))
+        migrated = transform(current)
         self.key = list(new_key)
         self.schema = new_schema
         migrated.select([f.name for f in new_schema.fields]).writeTo(
             self.identifier
         ).overwritePartitions()
+        if diff.removed:
+            # dropped AFTER the rewrite: the transform may still read
+            # the old columns to compute the new key
+            self.spark.sql(drop_columns_sql(self.identifier, diff.removed))
 
     def purge_columns(self, cols: Sequence[str]) -> None:
         """Drop columns AND destroy their values: Iceberg's DROP COLUMN

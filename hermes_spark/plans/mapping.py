@@ -216,9 +216,14 @@ def fanout_events(
         any_change = (
             F.size(added) + F.size(modified) + F.size(removed)
         ) > 0
+        # ops outside the CDC vocabulary fall back to the no-cache
+        # rule (keep when the payload has content) — the cached path
+        # must never silently drop events the plain path passes through
         keep = (
             F.lit(True) if t.allow_empty
-            else is_del | (is_add & has_content) | (is_mod & any_change)
+            else is_del
+            | (is_mod & any_change)
+            | (~is_del & ~is_mod & has_content)
         )
         out[t.name] = (
             typed.withColumn("attrs_added", added)

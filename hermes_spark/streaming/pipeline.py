@@ -123,6 +123,7 @@ class CdcPipeline:
             return 0
         fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
         progress = {"applied": False}
+        cached: list[DataFrame] = []
 
         def apply_fn(cands: DataFrame) -> DataFrame:
             import time
@@ -131,6 +132,7 @@ class CdcPipeline:
                 cands.where(self.validator(cands))
                 if self.validator is not None else cands
             ).cache()
+            cached.append(ok)
             agg = ok.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.xxhash64(
@@ -153,7 +155,11 @@ class CdcPipeline:
             progress["applied"] = True
             return ok
 
-        left = self.dlq.drain(apply_fn, max_passes=max_passes)
+        try:
+            left = self.dlq.drain(apply_fn, max_passes=max_passes)
+        finally:
+            for df in cached:
+                df.unpersist()
         if progress["applied"]:
             # queue compaction only when the pass moved something — an
             # idle queue must not rewrite itself every trigger

@@ -157,7 +157,14 @@ class ExactlyOnceSink:
         if not q_done:
             persisted = self.target.read_sidecar_of_batch(batch_id)
             if persisted is not None:
-                self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
+                if persisted.isEmpty():
+                    # healthy batch, nothing diverted: close the queue
+                    # ledger with a zero-job latch instead of running
+                    # the whole enqueue plan on an empty frame (two
+                    # wasted jobs per trigger on a clean stream)
+                    self.dlq.table.mark_batch(f"sink-{batch_id}")
+                else:
+                    self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
 
     def _split_failures(self, changes: DataFrame):
         """Reference client loop (clients/__init__.py:913-1020): rows
@@ -250,14 +257,20 @@ class ExactlyOnceSink:
         """Per (batch, partition, op) row counts, derived from the delta
         snapshot files (one file set per committed batch) — the detailed
         lineage view, computed on demand instead of per trigger."""
+        import os
+
         spark = self.target.spark
         parts = []
         for c in self.target._read_commits():
             if c.get("kind") != "delta" or c.get("batch_id") is None:
                 continue
-            d = spark.read.schema(self.target.schema).parquet(
-                self.target._version_dir(c["version"])
-            )
+            path = self.target._version_dir(c["version"])
+            if not os.path.isdir(path):
+                # vacuumed by maintenance — per-partition detail exists
+                # only for retained snapshots (aggregate counts survive
+                # in the ledger via metrics())
+                continue
+            d = spark.read.schema(self.target.schema).parquet(path)
             parts.append(
                 d.withColumn("partition_id", F.spark_partition_id())
                 .groupBy("partition_id", "op")

@@ -149,6 +149,12 @@ class ParquetMergeTable:
             if c is not None:
                 c["info"] = {**c.get("info", {}), **r.get("info", {})}
             return
+        if kind == "noop":
+            # batch-id latch without data: the batch is "committed"
+            # for replay detection but contributes no snapshot
+            if r.get("batch_id") is not None:
+                cache["batch_ids"].add(r["batch_id"])
+            return
         if kind not in ("base", "delta"):
             return  # audit records (e.g. migrate/purge/step) are not commits
         c = dict(r)
@@ -218,6 +224,16 @@ class ParquetMergeTable:
 
     def committed_batch_ids(self) -> set:
         return self._fold()["batch_ids"]
+
+    def mark_batch(self, batch_id: int | str) -> None:
+        """Latch a batch id as committed WITHOUT writing any data — one
+        appended ledger line, zero Spark jobs.  Used when a batch's
+        outcome is provably empty (e.g. the sink's DLQ split produced
+        no failures) but the two-ledger protocol still needs the batch
+        closed for replay detection."""
+        if batch_id in self.committed_batch_ids():
+            return
+        self._append_record({"kind": "noop", "batch_id": batch_id})
 
     def current_version(self) -> int | None:
         commits = self._read_commits()

@@ -345,3 +345,87 @@ def test_sidecar_roundtrip_and_vacuum_retention(spark, tmp_work):
             assert "gated" not in json.loads(line).get("info", {}).get(
                 "sidecar_schema", ""
             )
+
+
+# -- second review pass regressions --------------------------------------
+
+
+def test_partition_lineage_survives_vacuum(spark, tmp_work):
+    """Maintenance physically deletes superseded delta dirs; the
+    per-partition lineage view must skip them (aggregate counts live on
+    in the ledger) instead of raising PATH_NOT_FOUND."""
+    target = ParquetMergeTable(
+        spark, f"{tmp_work}/t", key=["conv_id", "turn_idx"],
+        schema=CHANGE_EVENT_SCHEMA, compact_every=None,
+    )
+    sink = ExactlyOnceSink(target)
+    sink(_batch(spark, [("a", 0, "insert", "user", "x", None,
+                         "2026-01-01 00:00:00", "c1")]), 0)
+    sink(_batch(spark, [("b", 0, "insert", "user", "y", None,
+                         "2026-01-01 00:00:01", "c2")]), 1)
+    target.compact()
+    target.vacuum()
+    assert sink.partition_lineage().count() == 0  # vacuumed → no detail
+    # aggregate metrics still present from the ledger
+    assert sink.metrics().count() > 0
+    # new commits after maintenance show up again
+    sink(_batch(spark, [("c", 0, "insert", "user", "z", None,
+                         "2026-01-01 00:00:02", "c3")]), 2)
+    assert sink.partition_lineage().where("batch_id = '2'").count() == 1
+
+
+def test_mark_batch_latches_without_data(spark, tmp_work):
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("v", T.StringType(), True),
+    ])
+    t = ParquetMergeTable(spark, f"{tmp_work}/mb", key=["id"], schema=schema)
+    t.mark_batch("sink-7")
+    assert "sink-7" in t.committed_batch_ids()
+    assert t.current_version() is None          # no data commit happened
+    t.mark_batch("sink-7")                      # idempotent
+    assert t.read().count() == 0
+
+
+def test_clean_batch_skips_enqueue_plan(spark, tmp_work):
+    """A batch with zero failures closes the queue ledger via the
+    zero-job latch — no empty deltas pile up in the queue table."""
+    target = ParquetMergeTable(
+        spark, f"{tmp_work}/t", key=["conv_id", "turn_idx"],
+        schema=CHANGE_EVENT_SCHEMA, compact_every=None,
+    )
+    dlq = DeadLetterQueue(
+        spark, f"{tmp_work}/q", key=["conv_id", "turn_idx"],
+        payload_schema=PAYLOAD,
+    )
+    sink = ExactlyOnceSink(
+        target, dlq=dlq,
+        validator=lambda df: ~F.col("text").contains("POISON"),
+    )
+    for b in range(3):
+        sink(_batch(spark, [("a", b, "insert", "user", f"clean {b}", None,
+                             f"2026-01-01 00:00:0{b}", f"c{b}")]), b)
+    assert {f"sink-{b}" for b in range(3)} <= dlq.table.committed_batch_ids()
+    # the queue table took ZERO data commits for clean batches
+    assert dlq.table.current_version() is None
+    # and a dirty batch still enqueues normally
+    sink(_batch(spark, [("p", 0, "insert", "user", "POISON", None,
+                         "2026-01-01 00:01:00", "cp")]), 3)
+    assert [r.conv_id for r in dlq.read().collect()] == ["p"]
+
+
+def test_cached_fanout_keeps_unknown_ops_with_content(spark):
+    """The cached path must not drop events whose op is outside the
+    CDC vocabulary when the plain path keeps them."""
+    from hermes_spark.plans.mapping import LocalTypeSpec, fanout_events
+
+    ev = spark.createDataFrame(
+        [(1, "upsert", "x"), (2, "upsert", None)], "k int, op string, r1 string"
+    )
+    cache = spark.createDataFrame([(1, "old")], "k int, r1 string")
+    plain = fanout_events(ev, [LocalTypeSpec("t", {"a": "r1"})], ["k"],
+                          passthrough=())
+    cached = fanout_events(ev, [LocalTypeSpec("t", {"a": "r1"})], ["k"],
+                           passthrough=(), cache=cache)
+    assert {r.k for r in plain["t"].collect()} == {1}
+    assert {r.k for r in cached["t"].collect()} == {1}
