@@ -429,3 +429,40 @@ def test_cached_fanout_keeps_unknown_ops_with_content(spark):
                            passthrough=(), cache=cache)
     assert {r.k for r in plain["t"].collect()} == {1}
     assert {r.k for r in cached["t"].collect()} == {1}
+
+
+def test_sink_replay_detection_with_string_ledger_ids(spark, tmp_work):
+    """Iceberg snapshot summaries stamp batch ids as STRINGS; the sink
+    must detect a replay even when the ledger holds '3' for streaming
+    batch 3 (int-only membership re-ran the whole split path on every
+    replay on the cluster twin)."""
+    target = ParquetMergeTable(
+        spark, f"{tmp_work}/t", key=["conv_id", "turn_idx"],
+        schema=CHANGE_EVENT_SCHEMA, compact_every=None,
+    )
+    sink = ExactlyOnceSink(target)
+    b = _batch(spark, [("a", 0, "insert", "user", "x", None,
+                        "2026-01-01 00:00:00", "c1")])
+    # simulate the cluster twin's string-typed ledger entry
+    target._append_commit(version=1, batch_id="3", kind="delta")
+    v = target.current_version()
+    sink(b, 3)  # replay of batch 3 — must no-op
+    assert target.current_version() == v
+    # JoinCdcSink takes the same contract
+    from hermes_spark.streaming.cdc_join import (
+        JOIN_TARGET_SCHEMA, KEY, JoinCdcSink,
+    )
+
+    jt = ParquetMergeTable(
+        spark, f"{tmp_work}/jt", key=KEY, schema=JOIN_TARGET_SCHEMA,
+        tombstone_mode="retain", compact_every=None,
+    )
+    jt._append_commit(version=1, batch_id="5", kind="delta")
+    jsink = JoinCdcSink(jt, n_buckets=4)
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts string")
+    turns = spark.createDataFrame(
+        [("c", 0, "user", "t", None, "2026-01-01 00:00:00")], ddl
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    jsink(turns, 5)  # replay
+    assert jt.current_version() == 1
