@@ -199,23 +199,33 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
         ).parquet(src)
 
     # 64 files per append → 8 genuine micro-batches (sustained cadence,
-    # not one mega-batch)
-    pipe = CdcPipeline(spark, src, os.path.join(work, "run"), max_files_per_trigger=64,
-                       n_buckets=64)
-    t0 = time.monotonic()
-    pipe.run_available()
-    wall = time.monotonic() - t0
-
-    # JVM-only classify mode on the same input (streaming/cdc_join.py)
+    # not one mega-batch).  Each streaming cell runs BENCH_CDC_REPS
+    # times (fresh checkpoints, same input) and reports min wall: this
+    # VM shows sustained windows of ~2× hypervisor steal, so a single
+    # rep is a coin flip on the round-over-round comparison.
+    reps = int(os.environ.get("BENCH_CDC_REPS", "2"))
     from hermes_spark.streaming.cdc_join import JoinCdcPipeline
 
-    jpipe = JoinCdcPipeline(spark, src, os.path.join(work, "join_run"),
-                            max_files_per_trigger=64)
-    t0 = time.monotonic()
-    jpipe.run_available()
-    jwall = time.monotonic() - t0
+    wall = jwall = float("inf")
+    for r in range(reps):
+        pipe = CdcPipeline(
+            spark, src, os.path.join(work, f"run{r}"),
+            max_files_per_trigger=64, n_buckets=64,
+        )
+        t0 = time.monotonic()
+        pipe.run_available()
+        wall = min(wall, time.monotonic() - t0)
+
+        jpipe = JoinCdcPipeline(
+            spark, src, os.path.join(work, f"join_run{r}"),
+            max_files_per_trigger=64,
+        )
+        t0 = time.monotonic()
+        jpipe.run_available()
+        jwall = min(jwall, time.monotonic() - t0)
     return {
         "cdc_turns": float(total_turns),
+        "cdc_reps_min_wall": reps,
         "cdc_wall_sec": round(wall, 3),
         "cdc_turns_per_sec": round(total_turns / wall, 1),
         "cdc_join_wall_sec": round(jwall, 3),
