@@ -216,3 +216,65 @@ def test_adaptive_pruning_equivalence_and_switch(spark, tmp_work):
         for r in t_b.read().collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_adaptive_pruning_property(spark, tmp_work):
+    """Hypothesis: ANY batch sequence produces identical target state
+    under forced pruning, adaptive pruning, and never-pruning — the
+    density heuristic is a pure performance knob."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        batches=st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 9),        # conv
+                    st.integers(0, 3),        # turn
+                    st.sampled_from(["a", "b", None]),  # text (None=tombstone)
+                    st.integers(0, 5),        # ts offset (seconds)
+                ),
+                min_size=1, max_size=5,
+            ),
+            min_size=1, max_size=3,
+        )
+    )
+    def check(batches):
+        import datetime as dt
+
+        counter["n"] += 1
+        base = dt.datetime(2026, 1, 1)
+        sinks = {}
+        for mode, thr in [("force", 2.0), ("adaptive", 0.5), ("never", 0.0)]:
+            t = ParquetMergeTable(
+                spark, f"{tmp_work}/p{counter['n']}_{mode}", key=KEY,
+                schema=JOIN_TARGET_SCHEMA, tombstone_mode="retain",
+                compact_every=None, partition_by=["_bucket"],
+            )
+            sinks[mode] = (t, JoinCdcSink(t, 4, prune_threshold=thr))
+        for i, rows in enumerate(batches):
+            data = [
+                (f"c{c}", ti, "u", tx, None, base + dt.timedelta(seconds=s))
+                for c, ti, tx, s in rows
+            ]
+            df = _batch(spark, data)
+            for _t, s in sinks.values():
+                s(df, i)
+        states = {
+            mode: sorted(
+                (r.conv_id, r.turn_idx, r.op, r.text, r.cks64)
+                for r in t.read().collect()
+            )
+            for mode, (t, _s) in sinks.items()
+        }
+        assert states["force"] == states["adaptive"] == states["never"]
+
+    check()
