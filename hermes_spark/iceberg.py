@@ -126,6 +126,30 @@ def alter_column_type_sql(identifier: str, col: str, new_type: str) -> str:
     return f"ALTER TABLE {identifier} ALTER COLUMN {col} TYPE {new_type}"
 
 
+def _is_missing_table_error(e: Exception) -> bool:
+    """True when the exception means the target table/view does not
+    exist (the only condition under which a create() fallback is
+    correct).  Checks the Spark 4 error condition first, then the
+    legacy message shapes."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    hay = f"{cond or ''} {e}".upper()
+    return (
+        "TABLE_OR_VIEW_NOT_FOUND" in hay
+        or "TABLE_NOT_FOUND" in hay
+        or "NOSUCHTABLE" in hay
+        or "TABLE OR VIEW NOT FOUND" in hay
+    )
+
+
 def _q(v) -> str:
     """Single-quote escape for SQL string literals (batch ids embed
     caller-supplied retry tags — an unescaped quote breaks the
@@ -277,18 +301,25 @@ class IcebergTable:
         ).collect()
         return rows[0].snapshot_id if rows else None
 
-    def _latched_batch_ids(self) -> set:
-        """Batch ids committed WITHOUT a snapshot (empty MERGEs and
-        ``mark_batch``) — recorded as ``hermes.batch.<id>`` table
-        properties."""
+    def _latched_batch_props(self) -> dict:
+        """``hermes.batch.<id>`` table properties, id → value.  Value
+        '1' = latched at commit time (empty MERGE / ``mark_batch``:
+        the batch has NO snapshot and its sidecar rows are the only
+        copy of the DLQ split); value 'expired' = latched by
+        ``vacuum`` when the batch's snapshot was about to be expired
+        (replay detection must survive snapshot GC, but the sidecar
+        retention policy applies normally)."""
         props = self.spark.sql(
             f"SHOW TBLPROPERTIES {self.identifier}"
         ).collect()
         return {
-            r.key[len("hermes.batch."):]
+            r.key[len("hermes.batch."):]: r.value
             for r in props
             if r.key.startswith("hermes.batch.")
         }
+
+    def _latched_batch_ids(self) -> set:
+        return set(self._latched_batch_props())
 
     def mark_batch(self, batch_id: int | str) -> None:
         """Latch a batch id as committed without writing data (the
@@ -380,7 +411,13 @@ class IcebergTable:
                     f"WHERE _sink_batch_id = '{_q(batch_id)}'"
                 )
                 tagged.writeTo(self._sidecar_identifier).append()
-            except Exception:
+            except Exception as e:
+                # only "table doesn't exist yet" falls through to
+                # create(); any other failure (analysis error, transient
+                # executor death) must propagate — a blanket fallback
+                # masked the root cause behind TableAlreadyExists
+                if not _is_missing_table_error(e):
+                    raise
                 tagged.writeTo(self._sidecar_identifier).create()
         cols = [f.name for f in self.schema.fields]
         view = f"_hermes_changes_{abs(hash((self.identifier, batch_id)))%10**8}"
@@ -501,50 +538,100 @@ class IcebergTable:
     def compact(self, tombstone_retention: Column | None = None) -> None:
         """``rewrite_data_files``, plus tombstone-retention expiry in
         retain mode (expired delete-rows physically removed via a
-        purge MERGE — the regular retain-mode MERGE never deletes)."""
+        purge MERGE — the regular retain-mode MERGE never deletes).
+
+        The expired keys are MATERIALIZED into a scratch table before
+        the purge MERGE: a MERGE whose source is a scan of its own
+        target is engine-dependent (Iceberg may reject or misread the
+        self-referential plan), so the source must be a separate
+        committed table.  The scratch is dropped after the MERGE."""
         self.spark.sql(rewrite_data_files_sql(self.identifier))
+        fields = [f.name for f in self.schema.fields]
         if (
             self.tombstone_mode == "retain"
             and tombstone_retention is not None
-            and "op" in [f.name for f in self.schema.fields]
+            and "op" in fields
+            and "ts" in fields
         ):
             from pyspark.sql import functions as F
 
             expired = self.read(op_col=None).where(
                 (F.col("op") == "delete") & (F.col("ts") < tombstone_retention)
             )
-            view = f"_hermes_purge_{abs(hash(self.identifier)) % 10**8}"
-            expired.select(*self.key).createOrReplaceTempView(view)
-            self.spark.sql(purge_merge_sql(self.identifier, view, self.key))
+            scratch = f"{self.identifier}_purge_scratch"
+            expired.select(*self.key).writeTo(scratch).createOrReplace()
+            try:
+                self.spark.sql(
+                    purge_merge_sql(self.identifier, scratch, self.key)
+                )
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
 
-    def vacuum(self, keep_sidecars: int = 2) -> list[int]:
-        """``expire_snapshots`` on the main table, plus sidecar
-        retention: rows for all but the newest ``keep_sidecars``
-        committed batches are deleted from the companion table and its
-        snapshots expired — without this the sidecar table grows one
-        append per DLQ-splitting batch forever.  Returns [] (Iceberg
-        reports expired files in the procedure output, not versions)."""
-        self.spark.sql(expire_snapshots_sql(self.identifier))
-        try:
-            # property-latched batches (empty MERGEs) have NO snapshot
-            # — their sidecar rows hold the only copy of the DLQ split,
-            # so retention keeps them (conservatively for as long as
-            # the latch exists: this table cannot see the queue ledger,
-            # and all-gated batches are rare)
-            latched = ", ".join(f"'{_q(b)}'" for b in self._latched_batch_ids())
-            guard = f"AND _sink_batch_id NOT IN ({latched}) " if latched else ""
+    def vacuum(
+        self, keep_sidecars: int = 2, retain_superseded: int = 0
+    ) -> list[int]:
+        """Snapshot GC with the ledger-completeness guarantees of the
+        local twin, in three ordered steps:
+
+        1. **Latch the batch ids of every snapshot about to expire**
+           as ``hermes.batch.<id> = 'expired'`` table properties.
+           Iceberg's ``expire_snapshots`` erases the expired
+           snapshots' summaries — without the latch,
+           ``committed_batch_ids()`` would forget every batch but the
+           retained ones and replay detection would silently weaken
+           (``ParquetMergeTable.vacuum`` keeps the full ledger; this
+           restores parity).
+        2. **Sidecar retention, computed BEFORE the main-table
+           expiry** (the .snapshots metadata is still complete here —
+           running the DELETE after expiry made ``keep_sidecars``
+           effectively 1): rows for all but the newest
+           ``keep_sidecars`` snapshot-committed batches are deleted
+           from the companion table, except batches latched with
+           value '1' (empty MERGEs — their sidecar rows are the only
+           copy of the DLQ split; 'expired' latches get no such
+           protection, or the sidecar table would grow forever).
+        3. ``expire_snapshots`` on main + sidecar tables.
+
+        ``retain_superseded`` maps to ``retain_last = 1 + N`` (keep N
+        superseded snapshots for concurrently-planned readers — the
+        local twin's contract).  Returns [] (Iceberg reports expired
+        files in the procedure output, not versions)."""
+        snaps = self.spark.sql(
+            f"SELECT snapshot_id, summary['{self.BATCH_PROP}'] AS b "
+            f"FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC"
+        ).collect()
+        retain_last = 1 + max(0, int(retain_superseded))
+        batch_ids_newest_first = [r.b for r in snaps if r.b is not None]
+        expiring = {
+            r.b for r in snaps[retain_last:] if r.b is not None
+        }
+        latched = self._latched_batch_props()
+        to_latch = sorted(b for b in expiring if b not in latched)
+        if to_latch:
             self.spark.sql(
-                f"DELETE FROM {self._sidecar_identifier} "
-                f"WHERE _sink_batch_id NOT IN ("
-                f"SELECT summary['{self.BATCH_PROP}'] "
-                f"FROM {self.identifier}.snapshots "
-                f"WHERE summary['{self.BATCH_PROP}'] IS NOT NULL "
-                f"ORDER BY committed_at DESC LIMIT {int(keep_sidecars)}) "
-                f"{guard}"
+                set_properties_sql(
+                    self.identifier,
+                    {f"hermes.batch.{b}": "expired" for b in to_latch},
+                )
+            )
+        try:
+            keep = set(batch_ids_newest_first[: max(0, int(keep_sidecars))])
+            keep.update(b for b, v in latched.items() if v == "1")
+            if keep:
+                lits = ", ".join(f"'{_q(b)}'" for b in sorted(keep))
+                where = f"_sink_batch_id NOT IN ({lits})"
+            else:
+                where = "TRUE"
+            self.spark.sql(
+                f"DELETE FROM {self._sidecar_identifier} WHERE {where}"
             )
             self.spark.sql(expire_snapshots_sql(self._sidecar_identifier))
         except Exception:
             pass  # no sidecar table yet
+        self.spark.sql(
+            expire_snapshots_sql(self.identifier, retain_last=retain_last)
+        )
         return []
 
     # -- destructive schema ops ----------------------------------------
@@ -601,7 +688,20 @@ class IcebergTable:
             [f for f in self.schema.fields if f.name not in cols]
         )
         current.writeTo(self.identifier).overwritePartitions()
-        self.spark.sql(expire_snapshots_sql(self.identifier))
+        # secret destruction overrides sidecar retention entirely: the
+        # DLQ-split rows carry the same columns, so every sidecar row
+        # (latched batches included) is wiped — the local twin's
+        # vacuum(keep_sidecars=0) makes the same trade
+        try:
+            self.spark.sql(
+                f"DELETE FROM {self._sidecar_identifier} WHERE TRUE"
+            )
+        except Exception:
+            pass
+        # vacuum latches the expiring batch ids first, so replay
+        # detection survives the snapshot expiry that destroys the
+        # old files' secret values
+        self.vacuum(keep_sidecars=0)
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.identifier}")

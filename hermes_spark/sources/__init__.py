@@ -11,7 +11,13 @@ Spark-side both are DataFrameReader formats:
                                  the checkpoint, not in our code — S10)
 
 URLs: ``parquet:/path``, ``json:/path``, ``csv:/path``,
-``sqlite:/path.db?table=t`` (stdlib driver, tested), ``jdbc:<spark-jdbc-url>?dbtable=t``, ``iceberg:catalog.db.table``,
+``sqlite:/path.db?table=t`` (stdlib driver, tested),
+``jdbc:<spark-jdbc-url>?dbtable=t``,
+``postgresql://host:port/db?dbtable=t`` /
+``oracle://host:port/service?dbtable=t`` (S3/S4 analogs — Spark jdbc
+scans with passthrough range-partitioning options; the option plumbing
+is stub-tested via an injectable ``reader_factory``, the jar itself is
+absent in this sandbox), ``iceberg:catalog.db.table``,
 ``ldap://host:port/base?filter=...&attrs=a,b`` (S5 analog; gated on a
 python LDAP client being importable — absent in this sandbox — with an
 injectable ``search_fn`` so the row-shaping logic is tested against a
@@ -65,12 +71,10 @@ def snapshot(
         return _ldap_snapshot(
             spark, rest, schema, search_fn=opts.get("search_fn")
         )
-    if scheme == "jdbc":
-        base, _, table = rest.partition("?dbtable=")
-        try:
-            return spark.read.format("jdbc").option("url", base).option("dbtable", table).load()
-        except Exception as e:  # driver jar absent in sandbox
-            raise RuntimeError(f"jdbc driver unavailable in this runtime: {e}") from e
+    if scheme in ("jdbc", "postgresql", "oracle"):
+        return _jdbc_snapshot(
+            spark, scheme, rest, reader_factory=opts.get("reader_factory")
+        )
     if scheme == "iceberg":
         try:
             return spark.read.format("iceberg").load(rest)
@@ -110,6 +114,88 @@ def _sqlite_snapshot(
     import pandas as pd
 
     return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+# jdbc partitioning/tuning options passed through verbatim when present
+# in the URL query string — partitionColumn/lowerBound/upperBound/
+# numPartitions turn the snapshot poll into N parallel range scans (the
+# 100 TB path for big source tables; the reference fetches in ONE
+# process, lib/plugins.py:56-123, which Spark must not copy at scale)
+_JDBC_PASSTHROUGH = {
+    "partitionColumn", "lowerBound", "upperBound", "numPartitions",
+    "fetchsize", "queryTimeout", "sessionInitStatement", "user", "password",
+}
+
+_JDBC_DRIVERS = {
+    "postgresql": "org.postgresql.Driver",
+    "oracle": "oracle.jdbc.OracleDriver",
+}
+
+
+def _jdbc_snapshot(spark, scheme: str, rest: str, reader_factory=None):
+    """S3/S4 analogs (reference plugins/datasources/postgresql/
+    postgresql.py:40-70, oracle/oracle.py:40-78): one poll = one
+    consistent read of the type's current state, expressed as a Spark
+    jdbc scan so big tables read as parallel range partitions.
+
+    URL shapes::
+
+        jdbc:<full-spark-jdbc-url>?dbtable=t&numPartitions=8&...
+        postgresql://host:5432/dbname?dbtable=t&user=u&password=p
+        oracle://host:1521/service?query=SELECT ...
+
+    ``dbtable`` or ``query`` selects the state to fetch (the
+    reference's per-type fetch query); recognized tuning options
+    (partitionColumn/lowerBound/upperBound/numPartitions/fetchsize/…)
+    pass through to the reader verbatim.  ``reader_factory`` is
+    injectable for tests — it receives no args and must return an
+    object with ``.option(k, v)`` and ``.load()`` (the sandbox has no
+    driver jar, so the option-plumbing is what the stub tests pin;
+    the same pattern the LDAP source proved)."""
+    import urllib.parse
+
+    base, _, qs = rest.partition("?")
+    params = dict(urllib.parse.parse_qsl(qs))
+    table, query = params.pop("dbtable", None), params.pop("query", None)
+    if not (table or query):
+        raise ValueError(f"{scheme} source needs ?dbtable=NAME or ?query=SQL")
+    if scheme == "jdbc":
+        url = base
+    elif scheme == "oracle":
+        # thin-driver service-name form (the reference connects by
+        # host/port/service_name, oracle.py:46-58)
+        url = f"jdbc:oracle:thin:@//{base.lstrip('/')}"
+    else:
+        url = f"jdbc:{scheme}://{base.lstrip('/')}"
+    reader = (
+        reader_factory() if reader_factory is not None
+        else spark.read.format("jdbc")
+    )
+    reader = reader.option("url", url)
+    if scheme in _JDBC_DRIVERS:
+        reader = reader.option("driver", _JDBC_DRIVERS[scheme])
+    reader = (
+        reader.option("dbtable", table) if table
+        else reader.option("query", query)
+    )
+    part_opts = {k: v for k, v in params.items() if k in _JDBC_PASSTHROUGH}
+    incomplete = {"partitionColumn", "lowerBound", "upperBound",
+                  "numPartitions"} & set(part_opts)
+    if incomplete and len(incomplete) < 4:
+        raise ValueError(
+            "jdbc range partitioning needs ALL of partitionColumn/"
+            f"lowerBound/upperBound/numPartitions (got {sorted(incomplete)})"
+        )
+    for k, v in sorted(part_opts.items()):
+        reader = reader.option(k, v)
+    if reader_factory is not None:
+        return reader.load()
+    try:
+        return reader.load()
+    except Exception as e:  # driver jar absent in sandbox
+        raise RuntimeError(
+            f"jdbc driver unavailable in this runtime: {e}"
+        ) from e
 
 
 def _ldap_snapshot(

@@ -273,9 +273,12 @@ class JoinCdcPipeline:
         expire_snapshots analog): fold deltas into a fresh base, then
         physically expire the superseded version dirs so disk stays
         O(live state).  Call from a maintenance job, never from the
-        hot path."""
+        hot path.  ``retain_superseded=1``: the generation this
+        compact superseded stays readable, so a trigger whose plan
+        listed files just before the compact does not fail mid-batch
+        (see ``CdcPipeline.maintain``)."""
         self.target.compact()
-        self.target.vacuum()
+        self.target.vacuum(retain_superseded=1)
 
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)

@@ -130,7 +130,7 @@ class DeadLetterQueue:
         through the schema's ``op`` column, which here is the EVENT op
         — a queued delete-event must survive compaction."""
         self.table.overwrite(self.read())
-        self.table.vacuum()
+        self.table.vacuum(retain_superseded=1)
 
     # -- enqueue-time FK policy ----------------------------------------
 

@@ -170,9 +170,16 @@ class CdcPipeline:
         """Out-of-band maintenance: fold target deltas into a fresh
         base and expire superseded snapshot dirs (Iceberg
         rewrite_data_files + expire_snapshots analog) — disk stays
-        O(live state) over an unbounded stream."""
+        O(live state) over an unbounded stream.
+
+        ``retain_superseded=1`` keeps the one generation this compact
+        just superseded: a live micro-batch (or sibling query) whose
+        plan listed files before the compact committed still resolves
+        — vacuum's default destroy-everything mode could otherwise
+        fail an in-flight trigger mid-plan (Spark's batch retry would
+        self-heal, but the trigger fails)."""
         self.target.compact()
-        self.target.vacuum()
+        self.target.vacuum(retain_superseded=1)
 
     def source(self) -> DataFrame:
         reader = self.spark.readStream.schema(TRANSCRIPT_SCHEMA)

@@ -263,11 +263,18 @@ class ParquetMergeTable:
     def read_sidecar(self, version: int) -> DataFrame | None:
         """The sidecar persisted with a commit, or None if the commit
         carried none.  Schema comes from the ledger (explicit — an
-        empty sidecar reads back fine)."""
+        empty sidecar reads back fine).  A sidecar expired by
+        ``vacuum(keep_sidecars=N)`` / ``purge_columns`` also returns
+        None: the ledger still records the schema, but the data is
+        gone by design (a replay older than the retention window has
+        nothing to re-enqueue) — without the dir check this raised
+        PATH_NOT_FOUND at action time."""
         c = self._fold()["by_version"].get(version)
         sj = (c or {}).get("info", {}).get("sidecar_schema") if c else None
         if sj is None:
             return None
+        if not os.path.isdir(self._sidecar_dir(version)):
+            return None  # vacuumed by retention
         schema = T.StructType.fromJson(json.loads(sj))
         return self.spark.read.schema(schema).parquet(self._sidecar_dir(version))
 
@@ -538,7 +545,9 @@ class ParquetMergeTable:
         )
         self._append_commit(v, None, kind="base")
 
-    def vacuum(self, keep_sidecars: int = 2) -> list[int]:
+    def vacuum(
+        self, keep_sidecars: int = 2, retain_superseded: int = 0
+    ) -> list[int]:
         """Snapshot GC (Iceberg ``expire_snapshots`` analog): physically
         delete version dirs not referenced by the live view — the latest
         base and the deltas after it.  Without this a long-running
@@ -549,17 +558,26 @@ class ParquetMergeTable:
         serialization.py:399-510; its secrets purge removes the values
         from disk, server/hermesserver.py:411-429).
 
-        Single-writer discipline: call from maintenance paths (or
-        ``purge_columns``), never concurrently with an in-flight read
-        over old versions.  The ledger keeps the full commit history —
-        only data files are expired, batch-id idempotency is
-        unaffected.
-
         ``keep_sidecars``: the newest N commit sidecars survive even
         when their data version is superseded — a crashed sink replays
         only its most recent uncommitted batch, and its persisted
         DLQ-split must still be readable after a mid-downtime
-        compaction."""
+        compaction.
+
+        ``retain_superseded``: additionally keep the newest N
+        superseded DATA versions on disk (Iceberg's ``older_than``
+        retention analog; the reference keeps N rotated backup copies,
+        serialization.py:399-510).  With the default 0 every superseded
+        dir is destroyed immediately — the behavior ``purge_columns``
+        requires.  With N ≥ 1 a sibling reader whose DataFrame plan was
+        built just before a maintenance cycle (its file listing
+        references the previous base + deltas) still resolves: one
+        maintenance cycle supersedes exactly one generation, so
+        retaining it keeps every concurrently-planned read valid —
+        ``CdcPipeline.maintain()`` runs with ``retain_superseded=1``
+        for this reason.  A read planned MORE than N maintenance
+        cycles ago can still fail at action time (documented
+        trade-off: retention bounds disk, not reader age)."""
         base, deltas = self._live_commits()
         live = {c["version"] for c in ([base] if base else []) + deltas}
         vdir = os.path.join(self.path, "versions")
@@ -567,6 +585,17 @@ class ParquetMergeTable:
             int(n[1:9]) for n in os.listdir(vdir) if n.endswith("-sidecar")
         )
         keep_sc = set(sidecar_versions[-keep_sidecars:] if keep_sidecars else [])
+        superseded = sorted(
+            int(n[1:9])
+            for n in os.listdir(vdir)
+            if n.startswith("v")
+            and n[1:9].isdigit()
+            and not n.endswith("-sidecar")
+            and int(n[1:9]) not in live
+        )
+        keep_data = set(
+            superseded[-retain_superseded:] if retain_superseded else []
+        )
         removed: set[int] = set()
         for name in os.listdir(vdir):
             if not (name.startswith("v") and name[1:9].isdigit()):
@@ -574,7 +603,10 @@ class ParquetMergeTable:
             v = int(name[1:9])
             if v in live:
                 continue
-            if name.endswith("-sidecar") and v in keep_sc:
+            if name.endswith("-sidecar"):
+                if v in keep_sc:
+                    continue
+            elif v in keep_data:
                 continue
             shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
             if not name.endswith("-sidecar"):

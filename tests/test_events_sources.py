@@ -145,3 +145,90 @@ def test_ldap_source_snapshot_with_stub(spark):
     # no client + no injected search_fn → loud gate, not a deep failure
     with pytest.raises(RuntimeError, match="ldap3"):
         snapshot(spark, "ldap://h/dc=x?attrs=uid", schema=schema)
+
+
+# -- S3/S4: jdbc option plumbing via injectable reader (no driver jar) ---
+
+
+class _StubReader:
+    """Records .option() calls; .load() returns the recorded options —
+    the assertion surface for the jar-free jdbc tests (the same
+    injectable-client pattern the LDAP source uses)."""
+
+    def __init__(self):
+        self.opts = {}
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self):
+        return dict(self.opts)
+
+
+def test_postgresql_source_option_plumbing(spark):
+    from hermes_spark.sources import snapshot
+
+    got = snapshot(
+        spark,
+        "postgresql://pg.example:5432/hermes?dbtable=users&user=svc"
+        "&password=pw&partitionColumn=id&lowerBound=0&upperBound=100000"
+        "&numPartitions=8&fetchsize=5000",
+        reader_factory=_StubReader,
+    )
+    assert got["url"] == "jdbc:postgresql://pg.example:5432/hermes"
+    assert got["driver"] == "org.postgresql.Driver"
+    assert got["dbtable"] == "users"
+    assert (got["partitionColumn"], got["lowerBound"], got["upperBound"],
+            got["numPartitions"]) == ("id", "0", "100000", "8")
+    assert got["fetchsize"] == "5000"
+    assert (got["user"], got["password"]) == ("svc", "pw")
+
+
+def test_oracle_source_option_plumbing(spark):
+    from hermes_spark.sources import snapshot
+
+    got = snapshot(
+        spark,
+        "oracle://ora.example:1521/XEPDB1?query=SELECT id, name FROM users",
+        reader_factory=_StubReader,
+    )
+    assert got["url"] == "jdbc:oracle:thin:@//ora.example:1521/XEPDB1"
+    assert got["driver"] == "oracle.jdbc.OracleDriver"
+    assert got["query"] == "SELECT id, name FROM users"
+    assert "dbtable" not in got
+
+
+def test_jdbc_generic_scheme_passthrough(spark):
+    from hermes_spark.sources import snapshot
+
+    got = snapshot(
+        spark,
+        "jdbc:jdbc:mysql://h:3306/db?dbtable=t",
+        reader_factory=_StubReader,
+    )
+    assert got["url"] == "jdbc:mysql://h:3306/db"
+    assert got["dbtable"] == "t"
+    assert "driver" not in got  # generic scheme: caller supplies the jar
+
+
+def test_jdbc_partitioning_options_must_be_complete(spark):
+    import pytest
+
+    from hermes_spark.sources import snapshot
+
+    with pytest.raises(ValueError, match="ALL of partitionColumn"):
+        snapshot(
+            spark,
+            "postgresql://h:5432/db?dbtable=t&partitionColumn=id",
+            reader_factory=_StubReader,
+        )
+
+
+def test_jdbc_requires_dbtable_or_query(spark):
+    import pytest
+
+    from hermes_spark.sources import snapshot
+
+    with pytest.raises(ValueError, match="dbtable"):
+        snapshot(spark, "postgresql://h:5432/db", reader_factory=_StubReader)
