@@ -282,29 +282,71 @@ def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    width: int = 64,
+    max_token_doc_freq: int | None = None,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully JVM-side: explode
-    tokens → per-token xxhash64 → per-bit ±1 vote via bit tests → sign
-    per bit → reassemble.  The per-bit votes are 64 conditional sums in
-    one aggregate stage."""
+    """SimHash over whitespace tokens, fully JVM-side: explode tokens →
+    per-token xxhash64 → per-bit ±1 vote via bit tests → sign per bit →
+    reassemble.  The per-bit votes are ``width`` conditional sums in
+    one aggregate stage.
+
+    ``width``: 64 (columns ``(id, simhash)``) or 128 (columns
+    ``(id, sig_hi, sig_lo)`` — two independently-seeded xxhash64 words
+    per token).  **128 is the scale default**: the band join's
+    candidate volume grows ∝ n²/2^band_width, and the measured growth
+    at 64 bits (4×16-bit bands) was 93× at 10× docs vs 27.6× fewer
+    candidates at 128 bits on the same corpus — at ≥10⁸ docs use 128.
+
+    ``max_token_doc_freq``: drop tokens present in more than that many
+    documents BEFORE voting (one extra doc-freq aggregation + an
+    anti-join on the token).  On boilerplate-dominated corpora the
+    ubiquitous tokens swamp every vote, signatures converge, and band
+    buckets blow up quadratically; with the prefilter, signatures
+    represent the *distinctive* content (the same semantics knob as
+    ``minhash``'s ``max_doc_freq``).  A doc whose every token is hot
+    drops out of the signature set entirely — mirror the choice in
+    whatever verifies the candidates."""
+    if width not in (64, 128):
+        raise ValueError(f"simhash width must be 64 or 128, got {width}")
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    if max_token_doc_freq is not None:
+        hot = (
+            tok.distinct()
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_token_doc_freq)
+        )
+        tok = tok.join(hot.select("t"), "t", "left_anti")
+    words = width // 64
+    for w in range(words):
+        seed = [F.lit(w)] if w else []  # word 0 keeps the unseeded hash
+        tok = tok.withColumn(f"h{w}", F.xxhash64(*seed, F.col("t")))
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
+                F.when(F.expr(f"(h{w} >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{w}_{b}")
+            for w in range(words)
             for b in range(64)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig + F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+    def word(w: int) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(64):
+            sig = sig + F.when(
+                F.col(f"v{w}_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    if width == 64:
+        return votes.select(F.col(id_col), word(0).alias("simhash"))
+    return votes.select(
+        F.col(id_col), word(0).alias("sig_hi"), word(1).alias("sig_lo")
+    )
 
 
 def simhash_near_pairs(
@@ -315,18 +357,24 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming, using the
     pigeonhole band trick (any pair within distance d < bands shares at
-    least one exact 16-bit band) — join on band equality, then exact
-    popcount filter.
+    least one exact band) — join on band equality, then exact popcount
+    filter.  ONE entry point for both signature widths: the width is
+    detected from the frame's columns (``simhash`` = 64-bit,
+    ``sig_hi``/``sig_lo`` = 128-bit from ``simhash(width=128)``).
 
     Scale sizing (measured, BENCH_r04 candidate telemetry): band-join
     candidate volume grows ∝ n²/2^band_width — 93× at 10× docs with
-    64-bit signatures and 4×16-bit bands.  16-bit bands are already
-    the WIDEST lossless choice for d ≤ 3 at 64 bits (pigeonhole needs
-    d < bands), so at ≥10⁸-doc scale move to 128-bit signatures
-    (4×32-bit bands, collisions ∝ n²/2³² — two xxhash64 seeds per
-    token) or prefilter near-constant documents by token doc-freq
-    before signing; the per-band join itself stays uniform and
-    broadcast-free either way."""
+    64-bit signatures (4×16-bit bands) vs 27.6× fewer candidates at
+    128 bits (4×32-bit bands) on the same corpus.  16-bit bands are
+    already the WIDEST lossless choice for d ≤ 3 at 64 bits
+    (pigeonhole needs d < bands), so at ≥10⁸-doc scale sign with
+    ``width=128``, and/or prefilter hot tokens with
+    ``max_token_doc_freq`` before signing; the per-band join itself
+    stays uniform and broadcast-free either way."""
+    if "sig_hi" in sig.columns and "sig_lo" in sig.columns:
+        return _simhash_near_pairs_2w(
+            sig, id_col, max_hamming, bands, sig_cols=("sig_hi", "sig_lo")
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [
@@ -360,76 +408,34 @@ def simhash_near_pairs(
     )
 
 
-def simhash128(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """128-bit SimHash — the measured scale path for the band join
-    (see ``simhash_near_pairs``): two independent 64-bit xxhash64
-    token hashes (second one seeded) vote 128 bits, returned as
-    ``(sig_hi, sig_lo)`` longs.  Same single-aggregate-stage shape as
-    the 64-bit variant (128 conditional sums), fully JVM-side."""
-    tok = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("t"),
-        )
-        .withColumn("h0", F.xxhash64("t"))
-        .withColumn("h1", F.xxhash64(F.lit(1), F.col("t")))
-    )
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h{w} >> {b}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{w}_{b}")
-            for w in (0, 1)
-            for b in range(64)
-        ]
-    )
-    def word(w: int):
-        sig = F.lit(0).cast("long")
-        for b in range(64):
-            sig = sig + F.when(
-                F.col(f"v{w}_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        return sig
-
-    return votes.select(
-        F.col(id_col), word(0).alias("sig_hi"), word(1).alias("sig_lo")
-    )
-
-
-def simhash128_near_pairs(
+def _simhash_near_pairs_2w(
     sig: DataFrame,
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bands: int = 4,
+    id_col: str,
+    max_hamming: int,
+    bands: int,
+    sig_cols: tuple[str, str],
 ) -> DataFrame:
-    """Near-dup pairs at Hamming ≤ max_hamming over 128-bit signatures
-    with 4×32-bit pigeonhole bands: lossless for d < bands exactly like
-    the 64-bit variant, but band collisions fall from ∝ n²/2¹⁶ to
-    ∝ n²/2³² — the candidate-quadratic term the round-4 telemetry
-    measured (93× at 10× docs) drops to near-linear at the same recall."""
+    """128-bit band join: 4×32-bit pigeonhole bands — lossless for
+    d < bands exactly like the 64-bit variant, but band collisions fall
+    from ∝ n²/2¹⁶ to ∝ n²/2³²."""
     assert bands == 4, "128-bit layout is 4×32-bit bands"
+    hi, lo = sig_cols
     mask = (1 << 32) - 1
     band_cols = [
-        F.expr(f"(sig_hi >> {i * 32}) & {mask}") for i in (0, 1)
-    ] + [F.expr(f"(sig_lo >> {i * 32}) & {mask}") for i in (0, 1)]
+        F.expr(f"({hi} >> {i * 32}) & {mask}") for i in (0, 1)
+    ] + [F.expr(f"({lo} >> {i * 32}) & {mask}") for i in (0, 1)]
     banded = sig.select(
-        id_col, "sig_hi", "sig_lo",
+        id_col, hi, lo,
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_val"),
     )
     l = banded.select(
         F.col(id_col).alias("doc_a"),
-        F.col("sig_hi").alias("a_hi"), F.col("sig_lo").alias("a_lo"),
+        F.col(hi).alias("a_hi"), F.col(lo).alias("a_lo"),
         "band_id", "band_val",
     )
     r = banded.select(
         F.col(id_col).alias("doc_b"),
-        F.col("sig_hi").alias("b_hi"), F.col("sig_lo").alias("b_lo"),
+        F.col(hi).alias("b_hi"), F.col(lo).alias("b_lo"),
         "band_id", "band_val",
     )
     return (
@@ -445,3 +451,24 @@ def simhash128_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash128(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compatibility alias for ``simhash(width=128)`` — the unified
+    entry point is preferred."""
+    return simhash(df, id_col, text_col, width=128)
+
+
+def simhash128_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Compatibility alias — ``simhash_near_pairs`` detects the
+    signature width from the columns."""
+    return simhash_near_pairs(sig, id_col, max_hamming, bands)
