@@ -88,9 +88,23 @@ class ExactlyOnceSink:
         evolve_on_new_columns: bool = True,
         dlq=None,
         validator: Callable[[DataFrame], "F.Column"] | None = None,
+        type_col: str | None = None,
+        type_names: "Sequence[str] | None" = None,
     ) -> None:
         self.target = target
         self.transform = transform
+        # per-objtype diff counters (the reference's status verb
+        # reports added/modified/removed PER TYPE,
+        # server/hermesserver.py:584-616): when ``type_col`` names a
+        # column carrying the fanout local-type name and
+        # ``type_names`` lists the types the plan declares (fanout
+        # type names are STATIC — the keys of fanout_events' result),
+        # the per-(type, op) counts ride the SAME Observation as the
+        # global counters — still zero extra jobs.  Rows whose type is
+        # not in the list land in an ``"other"`` bucket (derived, not
+        # counted).  The type column never reaches the target schema.
+        self.type_col = type_col
+        self.type_names = tuple(type_names or ())
         # the stateful classifier emits at most one compacted event per
         # key per batch, so the per-batch dedupe shuffle is skipped by
         # default; pass False when feeding raw (unclassified) changes.
@@ -199,7 +213,8 @@ class ExactlyOnceSink:
         if self.evolve_on_new_columns:
             known = {f.name for f in self.target.schema.fields}
             extra = [
-                f for f in changes.schema.fields if f.name not in known
+                f for f in changes.schema.fields
+                if f.name not in known and f.name != self.type_col
             ]
             if extra:
                 # idempotent under replay-after-crash: once evolved, the
@@ -210,28 +225,63 @@ class ExactlyOnceSink:
         if not self.assume_unique_keys:
             changes = _latest_change_per_key(changes, self.target.key)
         obs = Observation(f"lineage_{batch_id}")
-        observed = changes.observe(
-            obs,
+        aggs = [
             F.count(F.lit(1)).alias("rows"),
             F.sum((F.col("op") == "insert").cast("long")).alias("inserts"),
             F.sum((F.col("op") == "update").cast("long")).alias("updates"),
             F.sum((F.col("op") == "delete").cast("long")).alias("deletes"),
+        ]
+        # per-objtype counters: static count_ifs per declared (type,
+        # op) pair, riding the same single job — NOT a groupBy (that
+        # would be a second aggregation/shuffle) and NOT collect_list
+        # (that would ship O(rows) to the driver)
+        ops = ("insert", "update", "delete")
+        per_type = (
+            self.type_names
+            if self.type_col is not None
+            and self.type_col in changes.columns
+            else ()
         )
+        for i, t in enumerate(per_type):
+            for opname in ops:
+                aggs.append(
+                    F.sum(
+                        (
+                            (F.col(self.type_col) == t)
+                            & (F.col("op") == opname)
+                        ).cast("long")
+                    ).alias(f"bt_{i}_{opname}")
+                )
+        observed = changes.observe(obs, *aggs)
         committed = self.target.merge(
             changes=observed, batch_id=batch_id, sidecar=sidecar
         )
         if committed is not None:
             got = obs.get
-            self.target.annotate_commit(
-                committed,
-                {
-                    "rows": got["rows"],
-                    "inserts": got["inserts"] or 0,
-                    "updates": got["updates"] or 0,
-                    "deletes": got["deletes"] or 0,
-                    "wall_ms": int((time.monotonic() - t0) * 1000),
+            info = {
+                "rows": got["rows"],
+                "inserts": got["inserts"] or 0,
+                "updates": got["updates"] or 0,
+                "deletes": got["deletes"] or 0,
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            }
+            if per_type:
+                by_type = {
+                    t: {
+                        f"{op}s": int(got[f"bt_{i}_{op}"] or 0)
+                        for op in ops
+                    }
+                    for i, t in enumerate(per_type)
                 }
-            )
+                other = {
+                    f"{op}s": int(info[f"{op}s"] or 0)
+                    - sum(v[f"{op}s"] for v in by_type.values())
+                    for op in ops
+                }
+                if any(other.values()):
+                    by_type["other"] = other
+                info["by_type"] = by_type
+            self.target.annotate_commit(committed, info)
 
     # -- metrics surfaces ---------------------------------------------------
 

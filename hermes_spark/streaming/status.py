@@ -124,6 +124,7 @@ class PipelineStatus:
 
     def status(self, include_queue_depth: bool = True) -> dict:
         ledger = {"inserts": 0, "updates": 0, "deletes": 0, "commits": 0}
+        by_type: dict = {}
         for c in self.pipeline.target._read_commits():
             info = c.get("info")
             if not info or c.get("batch_id") is None:
@@ -131,12 +132,23 @@ class PipelineStatus:
             ledger["commits"] += 1
             for k in ("inserts", "updates", "deletes"):
                 ledger[k] += int(info.get(k, 0) or 0)
+            # per-objtype breakdown (the reference status verb reports
+            # added/modified/removed PER TYPE, hermesserver.py:584-616)
+            # — present when the sink was built with type_col/type_names
+            for t, counts in (info.get("by_type") or {}).items():
+                acc = by_type.setdefault(
+                    t, {"inserts": 0, "updates": 0, "deletes": 0}
+                )
+                for k in acc:
+                    acc[k] += int(counts.get(k, 0) or 0)
         out = {
             "target_version": self.pipeline.target.current_version(),
             "applied": ledger,
             "last_trigger": self.listener.last_progress(),
             "sustained_rows_per_sec": self.listener.throughput(),
         }
+        if by_type:
+            out["applied_by_type"] = by_type
         dlq = getattr(self.pipeline, "dlq", None)
         if dlq is not None and include_queue_depth:
             out["error_queue_depth"] = dlq.read().count()

@@ -51,3 +51,80 @@ def test_status_listener_and_ledger_fold(spark, tmp_work):
         assert "started" in kinds and "progress" in kinds
     finally:
         spark.streams.removeListener(st.listener)
+
+
+def test_per_objtype_counters_in_sink_and_status(spark, tmp_work):
+    """The reference status verb reports counters PER TYPE
+    (hermesserver.py:584-616): a sink built with type_col/type_names
+    records a by_type breakdown inside the same commit annotation
+    (same Observation, zero extra jobs), and status() folds it."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import types as T
+
+    from hermes_spark.streaming.sink import ExactlyOnceSink
+    from hermes_spark.streaming.status import (
+        PipelineStatus,
+        PipelineStatusListener,
+    )
+    from hermes_spark.tables import ParquetMergeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = ParquetMergeTable(
+        spark, f"{tmp_work}/t", key=["id"], schema=schema, compact_every=None
+    )
+    sink = ExactlyOnceSink(
+        t, type_col="_objtype", type_names=("user", "group")
+    )
+    ddl = "id int, op string, v string, _objtype string"
+    sink(
+        spark.createDataFrame(
+            [
+                (1, "insert", "a", "user"),
+                (2, "insert", "b", "user"),
+                (3, "insert", "c", "group"),
+                (1, "update", "a2", "user"),
+                (4, "insert", "d", "stranger"),
+            ],
+            ddl,
+        ),
+        batch_id=0,
+    )
+    sink(
+        spark.createDataFrame([(3, "delete", None, "group")], ddl),
+        batch_id=1,
+    )
+    # the type column never reaches the target schema
+    assert "_objtype" not in [f.name for f in t.schema.fields]
+    infos = [
+        c["info"] for c in t._read_commits() if c.get("batch_id") is not None
+    ]
+    assert infos[0]["by_type"]["user"] == {
+        "inserts": 2, "updates": 1, "deletes": 0
+    }
+    assert infos[0]["by_type"]["group"] == {
+        "inserts": 1, "updates": 0, "deletes": 0
+    }
+    # undeclared types land in the derived "other" bucket
+    assert infos[0]["by_type"]["other"] == {
+        "inserts": 1, "updates": 0, "deletes": 0
+    }
+    assert infos[1]["by_type"]["group"]["deletes"] == 1
+
+    st = PipelineStatus(
+        SimpleNamespace(target=t, dlq=None), PipelineStatusListener()
+    )
+    s = st.status(include_queue_depth=False)
+    assert s["applied_by_type"]["user"] == {
+        "inserts": 2, "updates": 1, "deletes": 0
+    }
+    assert s["applied_by_type"]["group"] == {
+        "inserts": 1, "updates": 0, "deletes": 1
+    }
+    assert s["applied"]["inserts"] == 4  # global counters unchanged
