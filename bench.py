@@ -95,9 +95,16 @@ def bench_near_dup(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, reps: int | None = None) -> dict[str, float]:
+    """Min-of-N per cell (BENCH_QUERY_REPS, default 2): this VM shows
+    sustained ~2× hypervisor-steal windows, and round 4 produced three
+    +13-26% readings on queries whose plans had not changed — a single
+    rep is a coin flip on the round-over-round comparison.  The CDC
+    streaming cells adopted the same protocol in round 4."""
     import __spark_entry__ as entrymod
 
+    if reps is None:
+        reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     qs = entrymod.queries()
     out: dict[str, float] = {}
     # warm the JVM/codegen once on the cheapest query
@@ -105,10 +112,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         if name in ("ngram_jaccard", "minhash_lsh"):
             continue  # measured with shared ground truth below
-        t0 = time.monotonic()
-        _force(qs[name](spark, sf_dir))
-        out[name] = round(time.monotonic() - t0, 3)
-    out.update(bench_near_dup(spark, sf_dir))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        out[name] = round(best, 3)
+    runs = [bench_near_dup(spark, sf_dir) for _ in range(reps)]
+    out.update({k: min(r[k] for r in runs) for k in runs[0]})
     return out
 
 
@@ -204,9 +215,12 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
     # VM shows sustained windows of ~2× hypervisor steal, so a single
     # rep is a coin flip on the round-over-round comparison.
     reps = int(os.environ.get("BENCH_CDC_REPS", "2"))
-    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+    from pyspark.sql import functions as F
 
-    wall = jwall = float("inf")
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+    from hermes_spark.streaming.status import attach_status
+
+    wall = jwall = owall = float("inf")
     for r in range(reps):
         pipe = CdcPipeline(
             spark, src, os.path.join(work, f"run{r}"),
@@ -223,6 +237,26 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
         t0 = time.monotonic()
         jpipe.run_available()
         jwall = min(jwall, time.monotonic() - t0)
+
+        # operations-all-on cell: the same stream with every
+        # operational feature live — validator + DLQ gating plan,
+        # scheduled drain passes, in-stream compact+vacuum
+        # (maintain_every), and the status listener.  The delta vs the
+        # plain cell is the measured price of running maintenance and
+        # the error-path plumbing inside the stream.
+        opipe = CdcPipeline(
+            spark, src, os.path.join(work, f"ops_run{r}"),
+            max_files_per_trigger=64, n_buckets=64,
+            validator=lambda df: ~F.col("text").startswith("\x00"),
+            retry_every=4, maintain_every=4,
+        )
+        st = attach_status(opipe)
+        t0 = time.monotonic()
+        try:
+            opipe.run_available()
+        finally:
+            spark.streams.removeListener(st.listener)
+        owall = min(owall, time.monotonic() - t0)
     return {
         "cdc_turns": float(total_turns),
         "cdc_reps_min_wall": reps,
@@ -230,6 +264,8 @@ def bench_streaming_cdc(spark, work: str, n_turns: int) -> dict[str, float]:
         "cdc_turns_per_sec": round(total_turns / wall, 1),
         "cdc_join_wall_sec": round(jwall, 3),
         "cdc_join_turns_per_sec": round(total_turns / jwall, 1),
+        "cdc_ops_wall_sec": round(owall, 3),
+        "cdc_ops_turns_per_sec": round(total_turns / owall, 1),
     }
 
 
@@ -270,7 +306,9 @@ def main() -> None:
         if second and os.path.isdir(second) and second.rstrip("/") != sf_dir.rstrip("/"):
             extras["second"] = {
                 "sf": _sf_of(second),
-                "queries": bench_queries(spark, second),
+                # single-rep: the second-SF pass is a growth-curve datum,
+                # not a cross-round comparison cell
+                "queries": bench_queries(spark, second, reps=1),
             }
             extras["candidates"] = {
                 str(_sf_of(second)): bench_candidate_telemetry(spark, second),

@@ -54,6 +54,13 @@ class CdcPipeline:
     # the change-event columns)
     fk_map: list | None = None
     foreignkeys_policy: str = "disabled"
+    # in-stream maintenance cadence: every N micro-batches, compact the
+    # target and vacuum superseded snapshots INSIDE foreachBatch (after
+    # the sink commit, so no in-flight plan references the folded
+    # generation; vacuum retains one superseded generation for sibling
+    # readers).  The compact is O(live state) — for latency-critical
+    # deployments leave None and run maintain() out-of-band instead.
+    maintain_every: int | None = None
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -97,6 +104,8 @@ class CdcPipeline:
             and (batch_id + 1) % self.retry_every == 0
         ):
             self.retry_queue(tag=f"b{batch_id}")
+        if self.maintain_every and (batch_id + 1) % self.maintain_every == 0:
+            self.maintain()
 
     def retry_queue(self, tag: str | None = None, max_passes: int = 10) -> int:
         """One scheduled error-queue retry: dependency-ordered drain
