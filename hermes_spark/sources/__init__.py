@@ -291,7 +291,9 @@ def _ldap_snapshot(
     return spark.createDataFrame(rows, schema)
 
 
-def stream(spark: SparkSession, url: str, schema: T.StructType) -> DataFrame:
+def stream(
+    spark: SparkSession, url: str, schema: T.StructType, **opts
+) -> DataFrame:
     scheme, rest = _split(url)
     if scheme == "parquet":
         return spark.readStream.schema(schema).parquet(rest)
@@ -300,14 +302,47 @@ def stream(spark: SparkSession, url: str, schema: T.StructType) -> DataFrame:
     if scheme == "rate":
         return spark.readStream.format("rate").option("rowsPerSecond", rest or "1000").load()
     if scheme == "kafka":
-        try:
-            host, _, topic = rest.partition("/")
-            return (
-                spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", host)
-                .option("subscribe", topic)
-                .load()
-            )
-        except Exception as e:
-            raise RuntimeError(f"kafka connector unavailable in this runtime: {e}") from e
+        return _kafka_stream(
+            spark, rest, reader_factory=opts.get("reader_factory")
+        )
     raise ValueError(f"unknown stream scheme {scheme!r}")
+
+
+def _kafka_stream(spark: SparkSession, rest: str, reader_factory=None):
+    """S8/S9 bus-consumer analog (reference lib/plugins.py:126-257 —
+    ordered event stream with offsets; offset commit/resume lives in
+    the Spark checkpoint, S10).  URL:
+    ``kafka://host1:9092,host2:9092/topic?startingOffsets=earliest&
+    maxOffsetsPerTrigger=100000&failOnDataLoss=false`` — recognized
+    consumer options pass through verbatim.  ``reader_factory`` is
+    injectable for tests (no kafka connector jar in this sandbox):
+    it must return an object with ``.option(k, v)`` / ``.load()``."""
+    import urllib.parse
+
+    body, _, qs = rest.partition("?")
+    hosts, _, topic = body.lstrip("/").partition("/")
+    if not hosts or not topic:
+        raise ValueError("kafka stream needs kafka://hosts/topic")
+    params = dict(urllib.parse.parse_qsl(qs))
+    passthrough = {
+        "startingOffsets", "maxOffsetsPerTrigger", "failOnDataLoss",
+        "minPartitions", "kafka.group.id",
+    }
+    reader = (
+        reader_factory() if reader_factory is not None
+        else spark.readStream.format("kafka")
+    )
+    reader = reader.option("kafka.bootstrap.servers", hosts).option(
+        "subscribe", topic
+    )
+    for k, v in sorted(params.items()):
+        if k in passthrough:
+            reader = reader.option(k, v)
+    if reader_factory is not None:
+        return reader.load()
+    try:
+        return reader.load()
+    except Exception as e:
+        raise RuntimeError(
+            f"kafka connector unavailable in this runtime: {e}"
+        ) from e

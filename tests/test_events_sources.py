@@ -232,3 +232,30 @@ def test_jdbc_requires_dbtable_or_query(spark):
 
     with pytest.raises(ValueError, match="dbtable"):
         snapshot(spark, "postgresql://h:5432/db", reader_factory=_StubReader)
+
+
+def test_kafka_stream_option_plumbing(spark):
+    """Bus-consumer connector (S8/S9): option plumbing pinned jar-free
+    with the same injectable reader the jdbc tests use."""
+    from pyspark.sql import types as T
+
+    from hermes_spark.sources import stream
+
+    got = stream(
+        spark,
+        "kafka://k1:9092,k2:9092/events?startingOffsets=earliest"
+        "&maxOffsetsPerTrigger=50000&failOnDataLoss=false&ignored=1",
+        T.StructType([]),
+        reader_factory=_StubReader,
+    )
+    assert got["kafka.bootstrap.servers"] == "k1:9092,k2:9092"
+    assert got["subscribe"] == "events"
+    assert got["startingOffsets"] == "earliest"
+    assert got["maxOffsetsPerTrigger"] == "50000"
+    assert got["failOnDataLoss"] == "false"
+    assert "ignored" not in got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kafka"):
+        stream(spark, "kafka://onlyhosts", T.StructType([]), reader_factory=_StubReader)
