@@ -567,6 +567,15 @@ class IcebergTable:
             finally:
                 self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
 
+    def compact_deltas(self) -> int | None:
+        """Incremental compaction (the local twin's ``deltafold``):
+        Iceberg's ``rewrite_data_files`` is already incremental —
+        binpack over the small recent files — so the same procedure
+        serves both cadences; only the local parquet emulation needs a
+        distinct O(churn) code path."""
+        self.spark.sql(rewrite_data_files_sql(self.identifier))
+        return None
+
     def vacuum(
         self, keep_sidecars: int = 2, retain_superseded: int = 0
     ) -> list[int]:

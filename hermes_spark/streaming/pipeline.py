@@ -54,12 +54,13 @@ class CdcPipeline:
     # the change-event columns)
     fk_map: list | None = None
     foreignkeys_policy: str = "disabled"
-    # in-stream maintenance cadence: every N micro-batches, compact the
-    # target and vacuum superseded snapshots INSIDE foreachBatch (after
-    # the sink commit, so no in-flight plan references the folded
-    # generation; vacuum retains one superseded generation for sibling
-    # readers).  The compact is O(live state) — for latency-critical
-    # deployments leave None and run maintain() out-of-band instead.
+    # in-stream maintenance cadence: every N micro-batches, fold the
+    # delta set (incremental compact_deltas — O(churned keys), never
+    # O(table)) and vacuum superseded snapshots INSIDE foreachBatch
+    # (after the sink commit, so no in-flight plan references the
+    # folded generation; vacuum retains one superseded generation for
+    # sibling readers).  Full O(table) rebasing stays out-of-band via
+    # maintain(mode="full").
     maintain_every: int | None = None
 
     def __post_init__(self) -> None:
@@ -105,7 +106,7 @@ class CdcPipeline:
         ):
             self.retry_queue(tag=f"b{batch_id}")
         if self.maintain_every and (batch_id + 1) % self.maintain_every == 0:
-            self.maintain()
+            self.maintain(mode="incremental")
 
     def retry_queue(self, tag: str | None = None, max_passes: int = 10) -> int:
         """One scheduled error-queue retry: dependency-ordered drain
@@ -175,7 +176,7 @@ class CdcPipeline:
             self.dlq.maintain()
         return left
 
-    def maintain(self) -> None:
+    def maintain(self, mode: str = "full") -> None:
         """Out-of-band maintenance: fold target deltas into a fresh
         base and expire superseded snapshot dirs (Iceberg
         rewrite_data_files + expire_snapshots analog) — disk stays
@@ -186,8 +187,17 @@ class CdcPipeline:
         plan listed files before the compact committed still resolves
         — vacuum's default destroy-everything mode could otherwise
         fail an in-flight trigger mid-plan (Spark's batch retry would
-        self-heal, but the trigger fails)."""
-        self.target.compact()
+        self-heal, but the trigger fails).
+
+        ``mode='incremental'`` folds only the delta set
+        (``compact_deltas``, O(churned keys)) instead of rewriting the
+        whole table — the cadence ``maintain_every`` runs in-stream,
+        where an O(table) rewrite per cycle would dominate the trigger
+        wall at scale."""
+        if mode == "incremental":
+            self.target.compact_deltas()
+        else:
+            self.target.compact()
         self.target.vacuum(retain_superseded=1)
 
     def source(self) -> DataFrame:

@@ -155,7 +155,7 @@ class ParquetMergeTable:
             if r.get("batch_id") is not None:
                 cache["batch_ids"].add(r["batch_id"])
             return
-        if kind not in ("base", "delta"):
+        if kind not in ("base", "delta", "deltafold"):
             return  # audit records (e.g. migrate/purge/step) are not commits
         c = dict(r)
         cache["commits"].append(c)
@@ -240,13 +240,19 @@ class ParquetMergeTable:
         return commits[-1]["version"] if commits else None
 
     def _live_commits(self) -> tuple[dict | None, list[dict]]:
-        """(latest base commit, deltas after it, in commit order)."""
+        """(latest base commit, deltas after it, in commit order).  A
+        ``deltafold`` commit supersedes every delta before it (it IS
+        their per-key fold) without touching the base — the
+        incremental-compaction commit kind."""
         commits = self._read_commits()
         base = None
         deltas: list[dict] = []
         for c in commits:
-            if c.get("kind", "base") == "base":
+            kind = c.get("kind", "base")
+            if kind == "base":
                 base, deltas = c, []
+            elif kind == "deltafold":
+                deltas = [c]
             else:
                 deltas.append(c)
         return base, deltas
@@ -544,6 +550,79 @@ class ParquetMergeTable:
             current, [f.name for f in self.schema.fields], self._version_dir(v)
         )
         self._append_commit(v, None, kind="base")
+
+    def compact_deltas(self) -> int | None:
+        """Incremental compaction: fold the live DELTA set into one
+        ``deltafold`` snapshot — O(churned keys since the last base),
+        never O(table).  The base is untouched, so an in-stream
+        maintenance cadence costs the churn volume instead of a full
+        state rewrite per cycle (Iceberg's binpack ``rewrite_data_files``
+        over recent files; the full `compact()` stays the out-of-band
+        path).  Read amplification after the fold: base + 1 fold + the
+        deltas committed since.
+
+        Per-key semantics mirror ``read()``'s fold exactly: the newest
+        delta row wins, and its LIVENESS CHANNEL (the commit's recorded
+        ``op_col``, or the in-schema ``op``) survives into the fold —
+        a key deleted by a delta stays a delete-marked row here, so
+        the base's copy is still dropped at read time.  In
+        ``tombstone_mode='retain'`` rows are state memory and carry
+        their in-schema op verbatim.  Returns the fold's version, or
+        None when there is nothing to fold (< 2 deltas)."""
+        base, deltas = self._live_commits()
+        if len(deltas) < 2:
+            return None
+        fields = [f.name for f in self.schema.fields]
+        schema_names = set(fields)
+        retain = self.tombstone_mode == "retain"
+        need_channel = False
+        parts = []
+        for i, d in enumerate(deltas):
+            extra_op = (d.get("info") or {}).get("op_col")
+            dschema = self.schema
+            if extra_op and extra_op not in schema_names:
+                dschema = T.StructType(
+                    list(self.schema.fields)
+                    + [T.StructField(extra_op, T.StringType(), True)]
+                )
+            raw = self.spark.read.schema(dschema).parquet(
+                self._version_dir(d["version"])
+            )
+            if retain or (extra_op is None and "op" not in schema_names):
+                chan = F.lit(None).cast("string")
+            elif extra_op and extra_op not in schema_names:
+                chan = F.col(extra_op)
+                need_channel = True
+            else:
+                # liveness rides the in-schema op column — it is part
+                # of the payload and survives the fold by itself
+                chan = F.lit(None).cast("string")
+            parts.append(
+                raw.withColumn("_seq", F.lit(i))
+                .withColumn("_fold_op", chan)
+                .select(*fields, "_seq", "_fold_op")
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        payload = [c for c in allrows.columns if c not in self.key]
+        folded = (
+            allrows.groupBy(*self.key)
+            .agg(F.max_by(F.struct(*payload), F.col("_seq")).alias("_r"))
+            .select(*self.key, "_r.*")
+            .drop("_seq")
+        )
+        write_cols = list(fields)
+        info: dict = {}
+        if need_channel:
+            write_cols.append("_fold_op")
+            info["op_col"] = "_fold_op"
+        else:
+            folded = folded.drop("_fold_op")
+        v = (self.current_version() or 0) + 1
+        self._write_snapshot(folded, write_cols, self._version_dir(v))
+        self._append_commit(v, None, kind="deltafold", info=info or None)
+        return v
 
     def vacuum(
         self, keep_sidecars: int = 2, retain_superseded: int = 0

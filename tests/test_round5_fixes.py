@@ -100,3 +100,122 @@ def test_purge_columns_still_destroys_with_retention_feature(spark, tmp_work):
         for fn in files:
             with open(os.path.join(root, fn), "rb") as f:
                 assert needle not in f.read(), os.path.join(root, fn)
+
+
+# -- incremental compaction (deltafold) ----------------------------------
+
+
+def test_compact_deltas_preserves_state_with_extra_op_channel(spark, tmp_work):
+    """compact_deltas folds the delta set only (O(churn)): state is
+    identical before/after, deletes survive the fold as markers (the
+    base's copy still drops at read), and vacuum removes the folded
+    deltas so read amplification is base + 1 fold."""
+    t = _mk(spark, f"{tmp_work}/t")
+    # base generation: keys 0..4
+    t.overwrite(spark.createDataFrame([(i, f"b{i}") for i in range(5)], "id int, v string"))
+    # deltas: update 1, insert 5, delete 2, re-update 1
+    t.merge(spark.createDataFrame([(1, "u1", "update")], DDL), batch_id=0)
+    t.merge(spark.createDataFrame([(5, "n5", "insert")], DDL), batch_id=1)
+    t.merge(spark.createDataFrame([(2, None, "delete")], DDL), batch_id=2)
+    t.merge(spark.createDataFrame([(1, "u1b", "update")], DDL), batch_id=3)
+    before = {(r.id, r.v) for r in t.read().collect()}
+    assert before == {(0, "b0"), (1, "u1b"), (3, "b3"), (4, "b4"), (5, "n5")}
+
+    v = t.compact_deltas()
+    assert v is not None
+    after = {(r.id, r.v) for r in t.read().collect()}
+    assert after == before
+    # ledger shape: one deltafold supersedes the four deltas
+    base, deltas = t._live_commits()
+    assert [d["kind"] for d in deltas] == ["deltafold"]
+    # the fold is O(churn): it holds 3 keys (1, 2, 5), not the table
+    import os
+
+    t.vacuum()
+    fold_df = spark.read.parquet(t._version_dir(v))
+    assert fold_df.count() == 3
+    # old delta dirs are gone, base + fold remain
+    left = sorted(
+        int(n[1:9]) for n in os.listdir(f"{t.path}/versions")
+        if not n.endswith("-sidecar")
+    )
+    assert left == [1, v]
+    # further deltas + a replay still behave
+    assert t.merge(spark.createDataFrame([(1, "x", "update")], DDL), batch_id=0) is None
+    t.merge(spark.createDataFrame([(6, "n6", "insert")], DDL), batch_id=4)
+    assert {(r.id, r.v) for r in t.read().collect()} == after | {(6, "n6")}
+
+
+def test_compact_deltas_in_schema_op_and_retain_mode(spark, tmp_work):
+    from pyspark.sql import types as T
+
+    # in-schema op (the CDC pipeline target shape)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = ParquetMergeTable(
+        spark, f"{tmp_work}/t1", key=["id"], schema=schema, compact_every=None
+    )
+    ddl = "id int, op string, v string"
+    t.merge(spark.createDataFrame([(1, "insert", "a"), (2, "insert", "b")], ddl), batch_id=0)
+    t.merge(spark.createDataFrame([(2, "delete", None), (3, "insert", "c")], ddl), batch_id=1)
+    before = {(r.id, r.v) for r in t.read().collect()}
+    t.compact_deltas()
+    assert {(r.id, r.v) for r in t.read().collect()} == before == {(1, "a"), (3, "c")}
+
+    # retain mode: tombstones are state memory and survive the fold
+    t2 = ParquetMergeTable(
+        spark, f"{tmp_work}/t2", key=["id"], schema=schema,
+        compact_every=None, tombstone_mode="retain",
+    )
+    t2.merge(spark.createDataFrame([(1, "insert", "a")], ddl), batch_id=0)
+    t2.merge(spark.createDataFrame([(1, "delete", None)], ddl), batch_id=1)
+    t2.merge(spark.createDataFrame([(2, "insert", "b")], ddl), batch_id=2)
+    before2 = {(r.id, r.op) for r in t2.read().collect()}
+    assert before2 == {(1, "delete"), (2, "insert")}
+    t2.compact_deltas()
+    assert {(r.id, r.op) for r in t2.read().collect()} == before2
+
+
+def test_compact_deltas_nothing_to_fold(spark, tmp_work):
+    t = _mk(spark, f"{tmp_work}/t")
+    assert t.compact_deltas() is None
+    t.merge(spark.createDataFrame([(1, "a", "insert")], DDL), batch_id=0)
+    assert t.compact_deltas() is None  # a single delta folds to itself
+
+
+def test_pipeline_incremental_maintain_equals_full(spark, tmp_work):
+    """A stream maintained in-stream with mode='incremental' ends in
+    the same state as an unmaintained run, with bounded live commits."""
+    import datetime as dt
+
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.pipeline import CdcPipeline
+
+    t0 = dt.datetime.fromisoformat("2026-01-01 00:00:00")
+    rows = lambda b: [  # noqa: E731
+        (f"c{c}", b, "user", f"c{c}-t{b}", None, t0 + dt.timedelta(minutes=b))
+        for c in range(20)
+    ]
+    src, src2 = f"{tmp_work}/src", f"{tmp_work}/src2"
+    for b in range(6):
+        for s in (src, src2):
+            spark.createDataFrame(rows(b), TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(s)
+    plain = CdcPipeline(spark, src, f"{tmp_work}/plain", max_files_per_trigger=1)
+    plain.run_available()
+    inc = CdcPipeline(
+        spark, src2, f"{tmp_work}/inc", max_files_per_trigger=1, maintain_every=2
+    )
+    inc.run_available()
+    a = {(r.conv_id, r.turn_idx, r.text) for r in plain.target_live().collect()}
+    b = {(r.conv_id, r.turn_idx, r.text) for r in inc.target_live().collect()}
+    assert a == b
+    _, deltas = inc.target._live_commits()
+    # folds bound the live delta chain to < the batch count
+    assert len(deltas) <= 3, [d["kind"] for d in deltas]
