@@ -418,7 +418,13 @@ def _simhash_near_pairs_2w(
     """128-bit band join: 4×32-bit pigeonhole bands — lossless for
     d < bands exactly like the 64-bit variant, but band collisions fall
     from ∝ n²/2¹⁶ to ∝ n²/2³²."""
-    assert bands == 4, "128-bit layout is 4×32-bit bands"
+    if bands != 4:
+        # a real error, not an assert: under `python -O` an assert
+        # vanishes and the caller's wider-band request would silently
+        # run with 4 bands, breaking the d < bands losslessness bound
+        raise ValueError(
+            f"128-bit signatures use a fixed 4×32-bit band layout; got bands={bands}"
+        )
     hi, lo = sig_cols
     mask = (1 << 32) - 1
     band_cols = [

@@ -567,12 +567,13 @@ class IcebergTable:
             finally:
                 self.spark.sql(f"DROP TABLE IF EXISTS {scratch}")
 
-    def compact_deltas(self) -> int | None:
-        """Incremental compaction (the local twin's ``deltafold``):
-        Iceberg's ``rewrite_data_files`` is already incremental —
-        binpack over the small recent files — so the same procedure
-        serves both cadences; only the local parquet emulation needs a
-        distinct O(churn) code path."""
+    def compact_deltas(self, max_folds: int = 8) -> int | None:
+        """Incremental compaction (the local twin's leveled
+        ``deltafold``): Iceberg's ``rewrite_data_files`` is already
+        incremental — binpack over the small recent files, with its
+        own leveling heuristics, so ``max_folds`` is parity-only —
+        and the same procedure serves both cadences; only the local
+        parquet emulation needs a distinct O(churn) code path."""
         self.spark.sql(rewrite_data_files_sql(self.identifier))
         return None
 
@@ -636,8 +637,13 @@ class IcebergTable:
                 f"DELETE FROM {self._sidecar_identifier} WHERE {where}"
             )
             self.spark.sql(expire_snapshots_sql(self._sidecar_identifier))
-        except Exception:
-            pass  # no sidecar table yet
+        except Exception as e:
+            # only "no sidecar table yet" is a normal condition; a real
+            # failure (analysis error, executor death) must surface, or
+            # retention silently skips forever and the sidecar table
+            # grows one append per DLQ-splitting batch unbounded
+            if not _is_missing_table_error(e):
+                raise
         self.spark.sql(
             expire_snapshots_sql(self.identifier, retain_last=retain_last)
         )

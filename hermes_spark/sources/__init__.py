@@ -116,16 +116,6 @@ def _sqlite_snapshot(
     return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
 
 
-# jdbc partitioning/tuning options passed through verbatim when present
-# in the URL query string — partitionColumn/lowerBound/upperBound/
-# numPartitions turn the snapshot poll into N parallel range scans (the
-# 100 TB path for big source tables; the reference fetches in ONE
-# process, lib/plugins.py:56-123, which Spark must not copy at scale)
-_JDBC_PASSTHROUGH = {
-    "partitionColumn", "lowerBound", "upperBound", "numPartitions",
-    "fetchsize", "queryTimeout", "sessionInitStatement", "user", "password",
-}
-
 _JDBC_DRIVERS = {
     "postgresql": "org.postgresql.Driver",
     "oracle": "oracle.jdbc.OracleDriver",
@@ -145,9 +135,17 @@ def _jdbc_snapshot(spark, scheme: str, rest: str, reader_factory=None):
         oracle://host:1521/service?query=SELECT ...
 
     ``dbtable`` or ``query`` selects the state to fetch (the
-    reference's per-type fetch query); recognized tuning options
-    (partitionColumn/lowerBound/upperBound/numPartitions/fetchsize/…)
-    pass through to the reader verbatim.  ``reader_factory`` is
+    reference's per-type fetch query); EVERY other query-string option
+    passes through to the reader verbatim — an allowlist would
+    silently drop security-critical options (credentials, TLS,
+    isolation level) and Spark already rejects genuinely unknown ones
+    with a clear error.  partitionColumn/lowerBound/upperBound/
+    numPartitions turn the snapshot poll into N parallel range scans
+    (the 100 TB path; the reference fetches in ONE process,
+    lib/plugins.py:56-123, which Spark must not copy at scale) and are
+    validated for completeness.  Note: give options in THIS url's
+    query string, not embedded inside a nested jdbc url (the first
+    ``?`` splits).  ``reader_factory`` is
     injectable for tests — it receives no args and must return an
     object with ``.option(k, v)`` and ``.load()`` (the sandbox has no
     driver jar, so the option-plumbing is what the stub tests pin;
@@ -178,15 +176,14 @@ def _jdbc_snapshot(spark, scheme: str, rest: str, reader_factory=None):
         reader.option("dbtable", table) if table
         else reader.option("query", query)
     )
-    part_opts = {k: v for k, v in params.items() if k in _JDBC_PASSTHROUGH}
     incomplete = {"partitionColumn", "lowerBound", "upperBound",
-                  "numPartitions"} & set(part_opts)
+                  "numPartitions"} & set(params)
     if incomplete and len(incomplete) < 4:
         raise ValueError(
             "jdbc range partitioning needs ALL of partitionColumn/"
             f"lowerBound/upperBound/numPartitions (got {sorted(incomplete)})"
         )
-    for k, v in sorted(part_opts.items()):
+    for k, v in sorted(params.items()):
         reader = reader.option(k, v)
     if reader_factory is not None:
         return reader.load()
@@ -313,8 +310,11 @@ def _kafka_stream(spark: SparkSession, rest: str, reader_factory=None):
     ordered event stream with offsets; offset commit/resume lives in
     the Spark checkpoint, S10).  URL:
     ``kafka://host1:9092,host2:9092/topic?startingOffsets=earliest&
-    maxOffsetsPerTrigger=100000&failOnDataLoss=false`` — recognized
-    consumer options pass through verbatim.  ``reader_factory`` is
+    maxOffsetsPerTrigger=100000&failOnDataLoss=false&
+    kafka.security.protocol=SASL_SSL`` — EVERY query-string option
+    passes through verbatim (an allowlist would silently drop the
+    ``kafka.*`` security/auth options and the consumer would attempt
+    an unauthenticated PLAINTEXT connection).  ``reader_factory`` is
     injectable for tests (no kafka connector jar in this sandbox):
     it must return an object with ``.option(k, v)`` / ``.load()``."""
     import urllib.parse
@@ -324,10 +324,6 @@ def _kafka_stream(spark: SparkSession, rest: str, reader_factory=None):
     if not hosts or not topic:
         raise ValueError("kafka stream needs kafka://hosts/topic")
     params = dict(urllib.parse.parse_qsl(qs))
-    passthrough = {
-        "startingOffsets", "maxOffsetsPerTrigger", "failOnDataLoss",
-        "minPartitions", "kafka.group.id",
-    }
     reader = (
         reader_factory() if reader_factory is not None
         else spark.readStream.format("kafka")
@@ -336,8 +332,7 @@ def _kafka_stream(spark: SparkSession, rest: str, reader_factory=None):
         "subscribe", topic
     )
     for k, v in sorted(params.items()):
-        if k in passthrough:
-            reader = reader.option(k, v)
+        reader = reader.option(k, v)
     if reader_factory is not None:
         return reader.load()
     try:

@@ -139,7 +139,11 @@ class CdcPipeline:
             import time
 
             ok = (
-                cands.where(self.validator(cands))
+                # NULL verdict = "no opinion" = passes (same exhaustive
+                # contract as the sink's split): a queued tombstone
+                # must not stay stuck forever because a content
+                # validator NULLs out on its NULL text
+                cands.where(F.coalesce(self.validator(cands), F.lit(True)))
                 if self.validator is not None else cands
             ).cache()
             cached.append(ok)
@@ -194,6 +198,8 @@ class CdcPipeline:
         whole table — the cadence ``maintain_every`` runs in-stream,
         where an O(table) rewrite per cycle would dominate the trigger
         wall at scale."""
+        if mode not in ("full", "incremental"):
+            raise ValueError(f"maintain mode must be full|incremental, got {mode!r}")
         if mode == "incremental":
             self.target.compact_deltas()
         else:

@@ -198,11 +198,17 @@ class ExactlyOnceSink:
             # replay after a crash between target-commit and
             # queue-commit: re-enqueue the ORIGINAL persisted split
             persisted = self.target.read_sidecar_of_batch(batch_id)
-            if persisted is not None:
-                if persisted.isEmpty():
-                    self.dlq.table.mark_batch(f"sink-{batch_id}")
-                else:
-                    self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
+            if persisted is None:
+                # the split expired (vacuum retention / purge_columns
+                # ran during the downtime): there is nothing left to
+                # re-enqueue — latch the queue ledger closed, or this
+                # branch re-runs on every future replay and the
+                # two-ledger protocol never converges for this batch
+                self.dlq.table.mark_batch(f"sink-{batch_id}")
+            elif persisted.isEmpty():
+                self.dlq.table.mark_batch(f"sink-{batch_id}")
+            else:
+                self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
 
     def _split_failures(self, changes: DataFrame):
         """Reference client loop (clients/__init__.py:913-1020): rows
@@ -215,9 +221,17 @@ class ExactlyOnceSink:
             self.validator(changes) if self.validator is not None
             else F.lit(True)
         )
+        # the split must be EXHAUSTIVE: a NULL verdict (any content
+        # validator over a NULL column — which is every delete
+        # tombstone, text IS NULL) is neither true nor ~true, so the
+        # row would fall through BOTH branches and silently vanish —
+        # neither applied nor enqueued (measured: a text validator
+        # dropped every delete in the stream).  NULL = "no opinion" =
+        # the event applies; a validator wanting strictness returns an
+        # explicit false.
         ev = changes.withColumn(
             "offset", F.unix_micros(F.col("ts"))
-        ).withColumn("_ok", ok)
+        ).withColumn("_ok", F.coalesce(ok, F.lit(True)))
         bad = ev.where(~F.col("_ok")).withColumn(
             "err", F.lit("validation failed")
         )

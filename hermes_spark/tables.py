@@ -241,9 +241,11 @@ class ParquetMergeTable:
 
     def _live_commits(self) -> tuple[dict | None, list[dict]]:
         """(latest base commit, deltas after it, in commit order).  A
-        ``deltafold`` commit supersedes every delta before it (it IS
-        their per-key fold) without touching the base — the
-        incremental-compaction commit kind."""
+        ``deltafold`` commit is the per-key fold of the commits listed
+        in its ``info.over`` — those drop out of the live list and the
+        fold takes their place (commit order keeps per-key precedence
+        correct: a fold sits where its newest folded delta sat).
+        Folds may themselves be folded later (leveled compaction)."""
         commits = self._read_commits()
         base = None
         deltas: list[dict] = []
@@ -252,13 +254,36 @@ class ParquetMergeTable:
             if kind == "base":
                 base, deltas = c, []
             elif kind == "deltafold":
-                deltas = [c]
+                over = set((c.get("info") or {}).get("over") or ())
+                if over:
+                    deltas = [d for d in deltas if d["version"] not in over]
+                else:
+                    deltas = []  # legacy fold: superseded all prior deltas
+                deltas.append(c)
             else:
                 deltas.append(c)
         return base, deltas
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}")
+
+    def _delta_scan(self, d: dict) -> tuple[DataFrame, str | None]:
+        """Scan one delta/deltafold commit with its recorded
+        out-of-schema op channel widened into the read schema — the
+        ONE place that knows how a delta's liveness channel is stored
+        (shared by ``read()`` and ``compact_deltas()``, so fold
+        results can never silently diverge from read results)."""
+        extra_op = (d.get("info") or {}).get("op_col")
+        dschema = self.schema
+        if extra_op and extra_op not in {f.name for f in self.schema.fields}:
+            dschema = T.StructType(
+                list(self.schema.fields)
+                + [T.StructField(extra_op, T.StringType(), True)]
+            )
+        df = self.spark.read.schema(dschema).parquet(
+            self._version_dir(d["version"])
+        )
+        return df, extra_op
 
     def _sidecar_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}-sidecar")
@@ -362,17 +387,10 @@ class ParquetMergeTable:
                 .withColumn("_seq", F.lit(0))
                 .withColumn("_del", F.lit(False))
             )
-        schema_names = {f.name for f in self.schema.fields}
         for i, d in enumerate(deltas):
-            extra_op = (d.get("info") or {}).get("op_col")
-            dschema = self.schema
-            if extra_op and extra_op not in schema_names:
-                # the out-of-schema op channel recorded with this delta
-                dschema = T.StructType(
-                    list(self.schema.fields)
-                    + [T.StructField(extra_op, T.StringType(), True)]
-                )
-            raw = _scan(self._version_dir(d["version"]), dschema)
+            raw, extra_op = self._delta_scan(d)
+            if partition_filter is not None:
+                raw = raw.where(partition_filter)
             if extra_op and op_col is not None and op_col not in fields:
                 dele = F.col(extra_op) == "delete"
             elif op_col in fields:
@@ -551,43 +569,80 @@ class ParquetMergeTable:
         )
         self._append_commit(v, None, kind="base")
 
-    def compact_deltas(self) -> int | None:
-        """Incremental compaction: fold the live DELTA set into one
-        ``deltafold`` snapshot — O(churned keys since the last base),
-        never O(table).  The base is untouched, so an in-stream
-        maintenance cadence costs the churn volume instead of a full
-        state rewrite per cycle (Iceberg's binpack ``rewrite_data_files``
-        over recent files; the full `compact()` stays the out-of-band
-        path).  Read amplification after the fold: base + 1 fold + the
-        deltas committed since.
+    def _superseded_generations(self) -> list[set[int]]:
+        """Replay the ledger into the list of superseded GENERATIONS,
+        oldest first: each superseding commit (``base`` or
+        ``deltafold``) contributes the set of versions that were live
+        immediately before it and are not live after — the unit a
+        concurrently-planned reader's file listing references."""
+        gens: list[set[int]] = []
+        base: dict | None = None
+        deltas: list[dict] = []
+        for c in self._read_commits():
+            kind = c.get("kind", "base")
+            if kind == "base":
+                prev = ([base] if base else []) + deltas
+                if prev:
+                    gens.append({x["version"] for x in prev})
+                base, deltas = c, []
+            elif kind == "deltafold":
+                over = set((c.get("info") or {}).get("over") or ())
+                if over:
+                    folded = [d for d in deltas if d["version"] in over]
+                    deltas = [d for d in deltas if d["version"] not in over]
+                else:
+                    folded, deltas = deltas, []
+                if folded:
+                    gens.append({x["version"] for x in folded})
+                deltas.append(c)
+            else:
+                deltas.append(c)
+        return gens
 
-        Per-key semantics mirror ``read()``'s fold exactly: the newest
-        delta row wins, and its LIVENESS CHANNEL (the commit's recorded
+    def compact_deltas(self, max_folds: int = 8) -> int | None:
+        """Incremental (leveled) compaction: fold the UNFOLDED suffix
+        of the live delta list — the deltas committed since the last
+        fold — into one ``deltafold`` snapshot.  Each cycle therefore
+        costs O(keys churned since the previous cycle), and the live
+        list becomes ``base + fold chain + fresh deltas``.  When the
+        fold chain itself reaches ``max_folds``, one consolidating
+        fold merges the whole chain (O(churn since the last base),
+        amortized over max_folds cycles) — classic LSM leveling, so
+        neither per-cycle cost nor read amplification grows without
+        bound.  Full O(table) rebasing remains ``compact()``'s job,
+        out-of-band.
+
+        Per-key semantics mirror ``read()``'s fold exactly (the scan
+        goes through the same ``_delta_scan`` helper): the newest row
+        wins and its LIVENESS CHANNEL (the commit's recorded
         ``op_col``, or the in-schema ``op``) survives into the fold —
         a key deleted by a delta stays a delete-marked row here, so
         the base's copy is still dropped at read time.  In
         ``tombstone_mode='retain'`` rows are state memory and carry
         their in-schema op verbatim.  Returns the fold's version, or
-        None when there is nothing to fold (< 2 deltas)."""
+        None when there is nothing to fold."""
         base, deltas = self._live_commits()
-        if len(deltas) < 2:
+        last_fold = max(
+            (
+                i for i, d in enumerate(deltas)
+                if d.get("kind") == "deltafold"
+            ),
+            default=-1,
+        )
+        n_folds = sum(1 for d in deltas if d.get("kind") == "deltafold")
+        if n_folds >= max_folds:
+            to_fold = deltas  # consolidate the whole chain
+        else:
+            to_fold = deltas[last_fold + 1:]  # fresh deltas only
+        if len(to_fold) < 2:
             return None
         fields = [f.name for f in self.schema.fields]
         schema_names = set(fields)
         retain = self.tombstone_mode == "retain"
         need_channel = False
         parts = []
-        for i, d in enumerate(deltas):
-            extra_op = (d.get("info") or {}).get("op_col")
-            dschema = self.schema
-            if extra_op and extra_op not in schema_names:
-                dschema = T.StructType(
-                    list(self.schema.fields)
-                    + [T.StructField(extra_op, T.StringType(), True)]
-                )
-            raw = self.spark.read.schema(dschema).parquet(
-                self._version_dir(d["version"])
-            )
+        for i, d in enumerate(to_fold):
+            raw, extra_op = self._delta_scan(d)
             if retain or (extra_op is None and "op" not in schema_names):
                 chan = F.lit(None).cast("string")
             elif extra_op and extra_op not in schema_names:
@@ -613,7 +668,7 @@ class ParquetMergeTable:
             .drop("_seq")
         )
         write_cols = list(fields)
-        info: dict = {}
+        info: dict = {"over": [d["version"] for d in to_fold]}
         if need_channel:
             write_cols.append("_fold_op")
             info["op_col"] = "_fold_op"
@@ -621,7 +676,7 @@ class ParquetMergeTable:
             folded = folded.drop("_fold_op")
         v = (self.current_version() or 0) + 1
         self._write_snapshot(folded, write_cols, self._version_dir(v))
-        self._append_commit(v, None, kind="deltafold", info=info or None)
+        self._append_commit(v, None, kind="deltafold", info=info)
         return v
 
     def vacuum(
@@ -644,19 +699,23 @@ class ParquetMergeTable:
         compaction.
 
         ``retain_superseded``: additionally keep the newest N
-        superseded DATA versions on disk (Iceberg's ``older_than``
+        superseded GENERATIONS on disk (Iceberg's ``older_than``
         retention analog; the reference keeps N rotated backup copies,
-        serialization.py:399-510).  With the default 0 every superseded
+        serialization.py:399-510).  A generation is the set of
+        versions one superseding commit (a ``base`` from
+        compact/overwrite/migrate, or a ``deltafold``) replaced —
+        retention by generation, not by dir count, because one
+        maintenance cycle supersedes MANY dirs at once (a full compact
+        supersedes the old base plus every delta) and a reader's plan
+        references the whole set.  With the default 0 every superseded
         dir is destroyed immediately — the behavior ``purge_columns``
-        requires.  With N ≥ 1 a sibling reader whose DataFrame plan was
-        built just before a maintenance cycle (its file listing
-        references the previous base + deltas) still resolves: one
-        maintenance cycle supersedes exactly one generation, so
-        retaining it keeps every concurrently-planned read valid —
-        ``CdcPipeline.maintain()`` runs with ``retain_superseded=1``
-        for this reason.  A read planned MORE than N maintenance
-        cycles ago can still fail at action time (documented
-        trade-off: retention bounds disk, not reader age)."""
+        requires.  With N ≥ 1 a sibling reader whose DataFrame plan
+        was built just before the latest maintenance cycle still
+        resolves — ``CdcPipeline.maintain()`` runs with
+        ``retain_superseded=1`` for this reason.  A read planned MORE
+        than N maintenance cycles ago can still fail at action time
+        (documented trade-off: retention bounds disk, not reader
+        age)."""
         base, deltas = self._live_commits()
         live = {c["version"] for c in ([base] if base else []) + deltas}
         vdir = os.path.join(self.path, "versions")
@@ -664,17 +723,11 @@ class ParquetMergeTable:
             int(n[1:9]) for n in os.listdir(vdir) if n.endswith("-sidecar")
         )
         keep_sc = set(sidecar_versions[-keep_sidecars:] if keep_sidecars else [])
-        superseded = sorted(
-            int(n[1:9])
-            for n in os.listdir(vdir)
-            if n.startswith("v")
-            and n[1:9].isdigit()
-            and not n.endswith("-sidecar")
-            and int(n[1:9]) not in live
-        )
-        keep_data = set(
-            superseded[-retain_superseded:] if retain_superseded else []
-        )
+        keep_data: set[int] = set()
+        if retain_superseded:
+            gens = self._superseded_generations()
+            for g in gens[-retain_superseded:]:
+                keep_data |= g
         removed: set[int] = set()
         for name in os.listdir(vdir):
             if not (name.startswith("v") and name[1:9].isdigit()):

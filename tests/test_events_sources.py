@@ -244,7 +244,8 @@ def test_kafka_stream_option_plumbing(spark):
     got = stream(
         spark,
         "kafka://k1:9092,k2:9092/events?startingOffsets=earliest"
-        "&maxOffsetsPerTrigger=50000&failOnDataLoss=false&ignored=1",
+        "&maxOffsetsPerTrigger=50000&failOnDataLoss=false"
+        "&kafka.security.protocol=SASL_SSL",
         T.StructType([]),
         reader_factory=_StubReader,
     )
@@ -253,7 +254,9 @@ def test_kafka_stream_option_plumbing(spark):
     assert got["startingOffsets"] == "earliest"
     assert got["maxOffsetsPerTrigger"] == "50000"
     assert got["failOnDataLoss"] == "false"
-    assert "ignored" not in got
+    # EVERY option forwards — an allowlist would silently drop the
+    # security options and the consumer would try PLAINTEXT
+    assert got["kafka.security.protocol"] == "SASL_SSL"
 
     import pytest
 

@@ -55,8 +55,11 @@ def test_read_sidecar_of_vacuumed_commit_returns_none(spark, tmp_work):
 
 def test_vacuum_retain_superseded_keeps_planned_reader_valid(spark, tmp_work):
     """A DataFrame planned over the pre-compact generation still
-    collects after maintain-style vacuum(retain_superseded=1); with
-    the default retain_superseded=0 the superseded dirs are destroyed
+    collects after maintain-style vacuum(retain_superseded=1) — the
+    PRODUCTION value: retention is by GENERATION (the whole set of
+    dirs one superseding commit replaced), because a reader's plan
+    references all of them, not just the newest dir.  With the
+    default retain_superseded=0 the superseded dirs are destroyed
     (the purge_columns contract)."""
     t = _mk(spark, f"{tmp_work}/t")
     for b in range(4):
@@ -64,8 +67,9 @@ def test_vacuum_retain_superseded_keeps_planned_reader_valid(spark, tmp_work):
     planned = t.read()  # file listing references the 4 delta dirs
     pre_versions = [c["version"] for c in t._read_commits()]
     t.compact()
-    t.vacuum(retain_superseded=len(pre_versions))
-    # every pre-compact dir was retained → the old plan still resolves
+    t.vacuum(retain_superseded=1)
+    # the ONE retained generation is all four pre-compact dirs → the
+    # old plan still resolves
     assert sorted(r.id for r in planned.collect()) == [0, 1, 2, 3]
     for v in pre_versions:
         assert os.path.isdir(t._version_dir(v))
@@ -76,15 +80,26 @@ def test_vacuum_retain_superseded_keeps_planned_reader_valid(spark, tmp_work):
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
 
 
-def test_retain_superseded_keeps_only_newest_n(spark, tmp_work):
+def test_retain_superseded_keeps_only_newest_generation(spark, tmp_work):
+    """Two maintenance cycles: retain_superseded=1 keeps the newest
+    generation entirely and drops the older one entirely."""
     t = _mk(spark, f"{tmp_work}/t")
     for b in range(3):
         t.merge(spark.createDataFrame([(b, f"v{b}", "insert")], DDL), batch_id=b)
-    t.compact()  # supersedes versions 1..3 (base is version 4)
+    t.compact()  # gen A = versions 1..3 (base becomes version 4)
+    gen_a = [1, 2, 3]
+    for b in range(3, 5):
+        t.merge(spark.createDataFrame([(b, f"v{b}", "insert")], DDL), batch_id=b)
+    planned = t.read()  # references base 4 + deltas 5,6
+    t.compact()  # gen B = versions 4..6
+    gen_b = [4, 5, 6]
     t.vacuum(retain_superseded=1)
-    assert not os.path.isdir(t._version_dir(1))
-    assert not os.path.isdir(t._version_dir(2))
-    assert os.path.isdir(t._version_dir(3))
+    for v in gen_a:
+        assert not os.path.isdir(t._version_dir(v)), v
+    for v in gen_b:
+        assert os.path.isdir(t._version_dir(v)), v
+    # the reader planned just before the latest cycle still works
+    assert len(planned.collect()) == 5
 
 
 def test_purge_columns_still_destroys_with_retention_feature(spark, tmp_work):
@@ -219,3 +234,147 @@ def test_pipeline_incremental_maintain_equals_full(spark, tmp_work):
     _, deltas = inc.target._live_commits()
     # folds bound the live delta chain to < the batch count
     assert len(deltas) <= 3, [d["kind"] for d in deltas]
+
+
+def test_compact_deltas_leveling_folds_suffix_then_consolidates(spark, tmp_work):
+    """Each cycle folds only the deltas since the previous fold
+    (O(recent churn)); when the fold chain hits max_folds, one
+    consolidating fold merges it — neither per-cycle cost nor read
+    amplification grows without bound."""
+    t = _mk(spark, f"{tmp_work}/t")
+    state = {}
+
+    def feed(b):
+        k = b % 5
+        state[k] = f"v{b}"
+        t.merge(spark.createDataFrame([(k, f"v{b}", "insert")], DDL), batch_id=b)
+
+    b = 0
+    for cycle in range(3):
+        for _ in range(2):
+            feed(b); b += 1
+        t.compact_deltas(max_folds=3)
+    _, deltas = t._live_commits()
+    kinds = [d.get("kind") for d in deltas]
+    assert kinds == ["deltafold"] * 3  # a chain, not one refolded blob
+    # each fold covered exactly the 2-deltas suffix — O(recent churn)
+    for d in deltas:
+        assert len(d["info"]["over"]) == 2
+    # fourth cycle trips the consolidation
+    for _ in range(2):
+        feed(b); b += 1
+    t.compact_deltas(max_folds=3)
+    _, deltas = t._live_commits()
+    assert [d.get("kind") for d in deltas] == ["deltafold"]
+    assert len(deltas[0]["info"]["over"]) == 5  # 3 folds + 2 fresh deltas
+    assert {(r.id, r.v) for r in t.read().collect()} == {
+        (k, v) for k, v in state.items()
+    }
+    # vacuum with generation retention keeps the consolidated chain's
+    # inputs as ONE generation
+    t.vacuum(retain_superseded=1)
+    for v in deltas[0]["info"]["over"]:
+        assert os.path.isdir(t._version_dir(v))
+
+
+def test_sink_replay_with_expired_sidecar_closes_queue_ledger(spark, tmp_work):
+    """Crash between target-commit and queue-commit, then the sidecar
+    expires (vacuum) during the downtime: the replay must latch the
+    queue ledger closed instead of silently re-entering the replay
+    branch forever."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hermes_spark.streaming.errorqueue import DeadLetterQueue
+    from hermes_spark.streaming.sink import ExactlyOnceSink
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = ParquetMergeTable(
+        spark, f"{tmp_work}/t", key=["conv_id", "turn_idx"], schema=schema,
+        compact_every=None,
+    )
+    payload = T.StructType([f for f in schema.fields if f.name != "op"])
+    dlq = DeadLetterQueue(
+        spark, f"{tmp_work}/dlq", key=["conv_id", "turn_idx"],
+        payload_schema=payload,
+    )
+    sink = ExactlyOnceSink(
+        t, dlq=dlq, validator=lambda df: ~F.col("text").contains("POISON")
+    )
+    ddl = "conv_id string, turn_idx int, op string, ts timestamp, text string"
+    batch = spark.createDataFrame(
+        [("a", 0, "insert", None, "ok"), ("b", 0, "insert", None, "POISON")], ddl
+    )
+    # crash between the two commits: target committed (with sidecar),
+    # queue not — emulate by sinking with a broken enqueue
+    real_enqueue = dlq.enqueue
+    dlq.enqueue = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        import pytest as _p
+
+        with _p.raises(RuntimeError, match="crash"):
+            sink(batch, batch_id=7)
+    finally:
+        dlq.enqueue = real_enqueue
+    assert 7 in t.committed_batch_ids()
+    assert "sink-7" not in dlq.table.committed_batch_ids()
+    # downtime maintenance expires the sidecar
+    t.compact()
+    t.vacuum(keep_sidecars=0)
+    # replay: must close the queue ledger, not spin
+    sink(batch, batch_id=7)
+    assert "sink-7" in dlq.table.committed_batch_ids()
+    # and the queue did not get a recomputed (possibly wrong) split
+    assert dlq.read().count() == 0
+
+
+def test_validator_null_verdict_does_not_lose_deletes(spark, tmp_work):
+    """A content validator over a NULL column returns a NULL verdict —
+    every delete tombstone (text IS NULL) does.  NULL is neither true
+    nor ~true, so before the exhaustive-split fix those rows fell
+    through BOTH branches of the DLQ gate and silently vanished:
+    neither applied nor enqueued.  The validated pipeline must now
+    produce the exact same target as the plain one."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.pipeline import CdcPipeline
+
+    t0 = dt.datetime.fromisoformat("2026-01-01 00:00:00")
+
+    def row(conv, idx, text, minutes):
+        return (conv, idx, "user", text, None, t0 + dt.timedelta(minutes=minutes))
+
+    b0 = [row("a", i, f"a-{i}", i) for i in range(6)]
+    # tombstones: text IS NULL (the reference's removed-event shape)
+    b1 = [row("a", 1, None, 100), row("a", 3, None, 101), row("b", 0, "b-0", 102)]
+    for src in ("src_p", "src_v"):
+        for b in (b0, b1):
+            spark.createDataFrame(b, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp_work}/{src}")
+    plain = CdcPipeline(
+        spark, f"{tmp_work}/src_p", f"{tmp_work}/plain", max_files_per_trigger=1
+    )
+    plain.run_available()
+    val = CdcPipeline(
+        spark, f"{tmp_work}/src_v", f"{tmp_work}/val", max_files_per_trigger=1,
+        validator=lambda df: ~F.col("text").contains("POISON"),
+        retry_every=1,
+    )
+    val.run_available()
+    a = {(r.conv_id, r.turn_idx) for r in plain.target_live().collect()}
+    b = {(r.conv_id, r.turn_idx) for r in val.target_live().collect()}
+    assert ("a", 1) not in b and ("a", 3) not in b  # deletes applied
+    assert a == b
+    assert val.dlq.read().count() == 0
