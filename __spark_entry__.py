@@ -909,6 +909,70 @@ def q_merkle_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token doc-freq prefilter graded as a verdict (round 5; signature
+    values are engine-specific like q_simhash, so the oracle states the
+    booleans as constants).  Two checks run inside the measured plan:
+
+    1. exactness — ``simhash(max_token_doc_freq=K)`` must produce
+       EXACTLY the signatures of the corpus with the >K-doc-freq
+       tokens physically stripped (the prefilter IS hot-token removal,
+       not an approximation; K = half the corpus).  Null-safe full
+       outer compare, so a doc dropped on one side only also fails;
+    2. non-triviality — the corpus actually HAS hot tokens at that K
+       (otherwise check 1 passes vacuously)."""
+    from hermes_spark.functions.dedup import simhash
+
+    both = _docs_plus_noisy(spark, sf_dir)
+    k = both.count() // 2
+    sig_f = both.transform(lambda d: simhash(d, max_token_doc_freq=k)).select(
+        "doc_id", F.col("simhash").alias("sig_f")
+    )
+    tok = both.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "t"),
+    )
+    hot = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > k)
+    )
+    stripped = (
+        tok.join(hot.select("t"), "t", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s["t"],
+                ),
+            ).alias("text")
+        )
+    )
+    sig_s = simhash(stripped).select(
+        "doc_id", F.col("simhash").alias("sig_s")
+    )
+    mism = sig_f.join(sig_s, "doc_id", "full").where(
+        ~F.col("sig_f").eqNullSafe(F.col("sig_s"))
+    )
+    return (
+        both.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(mism.agg(F.count(F.lit(1)).alias("_mism")))
+        .crossJoin(hot.agg(F.count(F.lit(1)).alias("_hot")))
+        .select(
+            "n_docs",
+            (F.col("_mism") == 0).alias("prefilter_equals_stripped"),
+            (F.col("_hot") > 0).alias("hot_tokens_exist"),
+        )
+    )
+
+
+
 def q_attr_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2 config-driven projection compiled to Column expressions."""
     from hermes_spark.plans.mapping import apply_mapping
@@ -1063,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash128": q_simhash128,
+        "simhash_prefilter": q_simhash_prefilter,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
@@ -1517,6 +1582,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    TRUE AS banded_lossless_on_true_pairs,
                    TRUE AS noisy_copies_near_ge_90pct
+            FROM documents
+        """,
+        "simhash_prefilter": """
+            SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+                   TRUE AS prefilter_equals_stripped,
+                   TRUE AS hot_tokens_exist
             FROM documents
         """,
         "simhash128": """
