@@ -923,7 +923,14 @@ def q_simhash_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
        (otherwise check 1 passes vacuously)."""
     from hermes_spark.functions.dedup import simhash
 
-    both = _docs_plus_noisy(spark, sf_dir)
+    # whitespace-normalize FIRST so the strip-and-reconstruct round
+    # trip is exact: tab/newline-edged text would otherwise leave an
+    # empty token in the direct signing (trim strips only spaces) that
+    # the concat_ws(' ') reconstruction cannot reproduce — a false
+    # mismatch on a correct implementation
+    both = _docs_plus_noisy(spark, sf_dir).withColumn(
+        "text", F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    )
     k = both.count() // 2
     sig_f = both.transform(lambda d: simhash(d, max_token_doc_freq=k)).select(
         "doc_id", F.col("simhash").alias("sig_f")

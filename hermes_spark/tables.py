@@ -267,6 +267,24 @@ class ParquetMergeTable:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}")
 
+    def _snapshot_scan(
+        self, version: int, schema: T.StructType | None = None
+    ) -> DataFrame:
+        """Scan one snapshot dir — ALWAYS with an explicit schema,
+        never inferred from footers.  This is what makes an EMPTY
+        snapshot readable: a partitioned write of zero rows produces a
+        dir with only _SUCCESS, and schema inference over it raises
+        UNABLE_TO_INFER_SCHEMA, bricking every subsequent read (an
+        all-stale micro-batch is a normal event under re-delivery).
+        Schema-on-read also conforms old snapshots for free: columns
+        missing from the files (pre-evolution snapshots) come back
+        NULL, and columns dropped from the schema are ignored.  The
+        ONE place the scan discipline lives — base, delta, and fold
+        reads all come through here."""
+        return self.spark.read.schema(schema or self.schema).parquet(
+            self._version_dir(version)
+        )
+
     def _delta_scan(self, d: dict) -> tuple[DataFrame, str | None]:
         """Scan one delta/deltafold commit with its recorded
         out-of-schema op channel widened into the read schema — the
@@ -274,16 +292,13 @@ class ParquetMergeTable:
         (shared by ``read()`` and ``compact_deltas()``, so fold
         results can never silently diverge from read results)."""
         extra_op = (d.get("info") or {}).get("op_col")
-        dschema = self.schema
+        dschema = None
         if extra_op and extra_op not in {f.name for f in self.schema.fields}:
             dschema = T.StructType(
                 list(self.schema.fields)
                 + [T.StructField(extra_op, T.StringType(), True)]
             )
-        df = self.spark.read.schema(dschema).parquet(
-            self._version_dir(d["version"])
-        )
-        return df, extra_op
+        return self._snapshot_scan(d["version"], dschema), extra_op
 
     def _sidecar_dir(self, v: int) -> str:
         return os.path.join(self.path, "versions", f"v{v:08d}-sidecar")
@@ -364,33 +379,21 @@ class ParquetMergeTable:
             fields = [c for c in fields if c in keep]
         if base is None and not deltas:
             return self.spark.createDataFrame([], self.schema)
-        def _scan(path: str, schema: T.StructType) -> DataFrame:
-            # ALWAYS an explicit schema: never infer from footers.  This
-            # is what makes an EMPTY snapshot readable — a partitioned
-            # write of zero rows produces a dir with only _SUCCESS, and
-            # schema inference over it raises UNABLE_TO_INFER_SCHEMA,
-            # bricking every subsequent read of the table (an all-stale
-            # micro-batch is a normal event under re-delivery).  Schema-
-            # on-read also conforms old snapshots for free: columns
-            # missing from the files (pre-evolution deltas) come back
-            # NULL, and columns dropped from the schema are ignored.
-            df = self.spark.read.schema(schema).parquet(path)
-            if partition_filter is not None:
-                df = df.where(partition_filter)
-            return df
+
+        def _pruned(df: DataFrame) -> DataFrame:
+            return df.where(partition_filter) if partition_filter is not None else df
 
         parts = []
         if base is not None:
             parts.append(
-                _scan(self._version_dir(base["version"]), self.schema)
+                _pruned(self._snapshot_scan(base["version"]))
                 .select(*fields)
                 .withColumn("_seq", F.lit(0))
                 .withColumn("_del", F.lit(False))
             )
         for i, d in enumerate(deltas):
             raw, extra_op = self._delta_scan(d)
-            if partition_filter is not None:
-                raw = raw.where(partition_filter)
+            raw = _pruned(raw)
             if extra_op and op_col is not None and op_col not in fields:
                 dele = F.col(extra_op) == "delete"
             elif op_col in fields:
