@@ -696,13 +696,27 @@ class IcebergTable:
         bad = cols & set(self.key)
         if bad:
             raise ValueError(f"cannot purge key columns {sorted(bad)}")
-        kept = [f.name for f in self.schema.fields if f.name not in cols]
-        current = self.read(op_col=None).select(*kept)
+        from pyspark.sql import functions as F
+
+        # REWRITE FIRST, while the table still has the columns: the
+        # secret values are overwritten with typed NULLs in every data
+        # file, so no later step ever scans the table after a
+        # destructive DDL (executing a pre-drop lazy plan after DROP
+        # COLUMN is engine-dependent).  Only then does the metadata
+        # DROP narrow the schema, and the snapshot expiry destroys the
+        # old files that still hold the values.
+        nulled = self.read(op_col=None).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name in cols else F.col(f.name)
+                for f in self.schema.fields
+            ]
+        )
+        nulled.writeTo(self.identifier).overwritePartitions()
         self.spark.sql(drop_columns_sql(self.identifier, sorted(cols)))
         self.schema = T.StructType(
             [f for f in self.schema.fields if f.name not in cols]
         )
-        current.writeTo(self.identifier).overwritePartitions()
         # secret destruction overrides sidecar retention entirely: the
         # DLQ-split rows carry the same columns, so every sidecar row
         # (latched batches included) is wiped — the local twin's

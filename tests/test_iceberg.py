@@ -528,3 +528,51 @@ def test_retain_compact_purge_skipped_without_ts_column():
     t.compact(tombstone_retention=F.lit("2020-01-01"))
     with pytest.raises(AssertionError):
         fake.index_of("sql", "WHEN MATCHED THEN DELETE")
+
+
+def test_purge_columns_rewrites_before_destructive_ddl():
+    """The value-destroying rewrite must execute BEFORE the DROP COLUMN
+    and the snapshot expiry: executing a pre-drop lazy scan after the
+    DROP is engine-dependent, and expiring before the rewrite would
+    leave the only readable copy holding the secrets."""
+    fake = FakeIcebergSession(snapshots=[(1, "b1")])
+    t = _table(fake)
+
+    class _ReadDF(_FakeDF):
+        pass
+
+    t.read = lambda **kw: _ReadDF(fake)
+    t.purge_columns(["v"])
+    i_rewrite = fake.index_of("overwrite", None)
+    i_drop = fake.index_of("sql", "DROP COLUMN")
+    i_expire = fake.index_of("sql", "expire_snapshots(table => 'db.t',")
+    assert i_rewrite < i_drop < i_expire
+    # schema narrowed after the DDL
+    assert [f.name for f in t.schema.fields] == ["id", "op"]
+    # sidecar rows wiped unconditionally (the DLQ split carries the
+    # same columns)
+    fake.index_of("sql", "DELETE FROM cat.db.t_sidecar WHERE TRUE")
+
+
+def test_migrate_key_drops_removed_columns_after_rewrite():
+    """migrate_key may read the old key columns inside the transform —
+    the DROP of removed columns must come after the rewrite commit."""
+    fake = FakeIcebergSession(snapshots=[(1, "b1")])
+    t = _table(fake)
+
+    class _ReadDF(_FakeDF):
+        pass
+
+    t.read = lambda **kw: _ReadDF(fake)
+    new_schema = T.StructType(
+        [
+            T.StructField("nid", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    t.migrate_key(["nid"], lambda df: df, new_schema)
+    i_add = fake.index_of("sql", "ADD COLUMNS")
+    i_rewrite = fake.index_of("overwrite", None)
+    i_drop = fake.index_of("sql", "DROP COLUMN")
+    assert i_add < i_rewrite < i_drop
+    assert t.key == ["nid"]
