@@ -110,7 +110,11 @@ class JoinCdcSink:
         target: ParquetMergeTable,
         n_buckets: int = 32,
         prune_threshold: float = 0.5,
+        dlq=None,
+        validator=None,
     ) -> None:
+        from hermes_spark.streaming.sink import ExactlyOnceSink
+
         self.target = target
         self.n_buckets = n_buckets
         self.bucketed = bool(
@@ -120,16 +124,32 @@ class JoinCdcSink:
         # skipped; 0 disables pruning entirely, >1 forces it always
         self.prune_threshold = prune_threshold
         self._last_touched: int | None = None
+        # the COMMIT goes through the shared exactly-once sink: the
+        # classified rows are this mode's change events, so validator
+        # diversion, per-key FIFO + FK gating, the persisted-split
+        # two-ledger protocol, and per-batch lineage annotation apply
+        # identically to both classifiers — one implementation of the
+        # reference client loop, not two
+        self.inner = ExactlyOnceSink(target, dlq=dlq, validator=validator)
+        self.dlq = dlq
 
     def __call__(self, turns: DataFrame, batch_id: int) -> None:
         ids = self.target.committed_batch_ids()
         # format-neutral: Iceberg summaries stamp ids as strings
-        if batch_id in ids or str(batch_id) in ids:
+        t_done = batch_id in ids or str(batch_id) in ids
+        q_done = (
+            self.dlq is None
+            or f"sink-{batch_id}" in self.dlq.table.committed_batch_ids()
+        )
+        if t_done and q_done:
             # replay no-op — but the batch plan must still run so any
             # upstream stateful operator commits its state stores
             # (Spark 4 validates this and fails the batch otherwise)
             turns.count()
             return
+        # t_done without q_done (crash between the two commits): fall
+        # through — the inner sink re-enqueues the persisted split; the
+        # classification join runs once as the replay's count() driver
         b = with_content_cksum(turns)
         tomb = F.col("text").isNull()
         b = b.withColumn("_tomb", tomb).withColumn(
@@ -223,7 +243,7 @@ class JoinCdcSink:
                 obs, F.approx_count_distinct("_bucket").alias("nb")
             )
         try:
-            self.target.merge(out, batch_id=batch_id)
+            self.inner(out, batch_id)
             if obs is not None:
                 try:
                     self._last_touched = int(obs.get["nb"] or 0)
@@ -247,6 +267,14 @@ class JoinCdcPipeline:
     max_files_per_trigger: int | None = None
     n_buckets: int = 32
     prune_threshold: float = 0.5
+    # operational parity with CdcPipeline (one client loop, two
+    # classifiers): validator diversion + scheduled dependency-ordered
+    # drain, FK gating policy, and in-stream incremental maintenance
+    validator: object | None = None
+    retry_every: int | None = None
+    fk_map: list | None = None
+    foreignkeys_policy: str = "disabled"
+    maintain_every: int | None = None
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -264,20 +292,69 @@ class JoinCdcPipeline:
             compact_every=None,
             partition_by=["_bucket"],
         )
+        self.dlq = None
+        if self.validator is not None:
+            from hermes_spark.streaming.errorqueue import DeadLetterQueue
+
+            payload = T.StructType(
+                [f for f in JOIN_TARGET_SCHEMA.fields if f.name != "op"]
+            )
+            self.dlq = DeadLetterQueue(
+                self.spark,
+                os.path.join(self.work_dir, "dlq"),
+                key=KEY,
+                payload_schema=payload,
+                fk_map=self.fk_map,
+                foreignkeys_policy=self.foreignkeys_policy,
+            )
         self.sink = JoinCdcSink(
-            self.target, self.n_buckets, prune_threshold=self.prune_threshold
+            self.target, self.n_buckets,
+            prune_threshold=self.prune_threshold,
+            dlq=self.dlq, validator=self.validator,
         )
 
-    def maintain(self) -> None:
+    def _on_batch(self, df: DataFrame, batch_id: int) -> None:
+        self.sink(df, batch_id)
+        if (
+            self.dlq is not None
+            and self.retry_every
+            and (batch_id + 1) % self.retry_every == 0
+        ):
+            self.retry_queue(tag=f"b{batch_id}")
+        if self.maintain_every and (batch_id + 1) % self.maintain_every == 0:
+            self.maintain(mode="incremental")
+
+    def retry_queue(self, tag: str | None = None, max_passes: int = 10) -> int:
+        """Scheduled error-queue drain (shared protocol — see
+        ``pipeline.drain_queue``); candidates re-apply through the
+        inner exactly-once sink, so drain merges carry lineage like
+        any other commit."""
+        if self.dlq is None:
+            return 0
+        from hermes_spark.streaming.pipeline import drain_queue
+
+        return drain_queue(
+            self.dlq, self.sink.inner, self.validator,
+            [f.name for f in JOIN_TARGET_SCHEMA.fields],
+            tag=tag, max_passes=max_passes,
+        )
+
+    def maintain(self, mode: str = "full") -> None:
         """Out-of-band maintenance (Iceberg rewrite_data_files +
         expire_snapshots analog): fold deltas into a fresh base, then
         physically expire the superseded version dirs so disk stays
-        O(live state).  Call from a maintenance job, never from the
-        hot path.  ``retain_superseded=1``: the generation this
+        O(live state).  ``retain_superseded=1``: the generation this
         compact superseded stays readable, so a trigger whose plan
         listed files just before the compact does not fail mid-batch
-        (see ``CdcPipeline.maintain``)."""
-        self.target.compact()
+        (see ``CdcPipeline.maintain``).  ``mode='incremental'`` folds
+        only the delta set (O(churn)) — the in-stream
+        ``maintain_every`` cadence."""
+        if mode not in ("full", "incremental"):
+            raise ValueError(f"maintain mode must be full|incremental, got {mode!r}")
+        if mode == "incremental":
+            self.target.compact_deltas()
+        else:
+            self.target.compact()
         self.target.vacuum(retain_superseded=1)
 
     def source(self) -> DataFrame:
@@ -289,7 +366,7 @@ class JoinCdcPipeline:
     def start(self) -> StreamingQuery:
         return (
             self.source()
-            .writeStream.foreachBatch(self.sink)
+            .writeStream.foreachBatch(self._on_batch)
             .option("checkpointLocation", self.checkpoint)
             .outputMode("append")
             .start()

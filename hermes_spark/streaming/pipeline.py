@@ -32,6 +32,64 @@ from hermes_spark.streaming.sink import ExactlyOnceSink
 from hermes_spark.tables import ParquetMergeTable
 
 
+def drain_queue(
+    dlq, sink, validator, fields: list[str],
+    tag: str | None = None, max_passes: int = 10,
+) -> int:
+    """One scheduled error-queue drain, shared by both pipeline modes:
+    dependency-ordered candidates re-validated (NULL verdict = "no
+    opinion" = passes — a queued tombstone must not stay stuck forever
+    because a content validator NULLs out on its NULL text) and
+    applied through the sink's observed ``_apply`` under a
+    CONTENT-STABLE batch id — ``dlq-<tag>-`` plus a hash of the
+    candidate (key, offset) set — so a crash-replay whose pass
+    numbering shifted merges the NEW candidate set instead of silently
+    no-oping (see ``CdcPipeline.retry_queue``).  Empty passes commit
+    nothing; compaction runs only when a pass moved something.
+    Returns the rows left in the queue."""
+    import time
+
+    progress = {"applied": False}
+    cached: list[DataFrame] = []
+
+    def apply_fn(cands: DataFrame) -> DataFrame:
+        ok = (
+            cands.where(F.coalesce(validator(cands), F.lit(True)))
+            if validator is not None else cands
+        ).cache()
+        cached.append(ok)
+        agg = ok.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.xxhash64(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws("\x00", "conv_id", "turn_idx", "offset")
+                    )
+                )
+            ).alias("h"),
+        ).first()
+        if agg.n == 0:
+            return ok  # nothing passes — no empty commit churn
+        bid = f"dlq-{tag}-{agg.h}" if tag is not None else None
+        # through the sink's observed apply: drain merges land in the
+        # lineage/metrics surfaces like any other commit (the
+        # reference counts retried events in its status counters)
+        sink._apply(ok.select(*fields), bid, time.monotonic())
+        progress["applied"] = True
+        return ok
+
+    try:
+        left = dlq.drain(apply_fn, max_passes=max_passes)
+    finally:
+        for df in cached:
+            df.unpersist()
+    if progress["applied"]:
+        # queue compaction only when the pass moved something — an
+        # idle queue must not rewrite itself every trigger
+        dlq.maintain()
+    return left
+
+
 @dataclass
 class CdcPipeline:
     spark: SparkSession
@@ -131,54 +189,11 @@ class CdcPipeline:
         left in the queue."""
         if self.dlq is None:
             return 0
-        fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
-        progress = {"applied": False}
-        cached: list[DataFrame] = []
-
-        def apply_fn(cands: DataFrame) -> DataFrame:
-            import time
-
-            ok = (
-                # NULL verdict = "no opinion" = passes (same exhaustive
-                # contract as the sink's split): a queued tombstone
-                # must not stay stuck forever because a content
-                # validator NULLs out on its NULL text
-                cands.where(F.coalesce(self.validator(cands), F.lit(True)))
-                if self.validator is not None else cands
-            ).cache()
-            cached.append(ok)
-            agg = ok.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.xxhash64(
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat_ws(
-                                "\x00", "conv_id", "turn_idx", "offset"
-                            )
-                        )
-                    )
-                ).alias("h"),
-            ).first()
-            if agg.n == 0:
-                return ok  # nothing passes — no empty commit churn
-            bid = f"dlq-{tag}-{agg.h}" if tag is not None else None
-            # through the sink's observed apply: drain merges land in
-            # the lineage/metrics surfaces like any other commit (the
-            # reference counts retried events in its status counters)
-            self.sink._apply(ok.select(*fields), bid, time.monotonic())
-            progress["applied"] = True
-            return ok
-
-        try:
-            left = self.dlq.drain(apply_fn, max_passes=max_passes)
-        finally:
-            for df in cached:
-                df.unpersist()
-        if progress["applied"]:
-            # queue compaction only when the pass moved something — an
-            # idle queue must not rewrite itself every trigger
-            self.dlq.maintain()
-        return left
+        return drain_queue(
+            self.dlq, self.sink, self.validator,
+            [f.name for f in CHANGE_EVENT_SCHEMA.fields],
+            tag=tag, max_passes=max_passes,
+        )
 
     def maintain(self, mode: str = "full") -> None:
         """Out-of-band maintenance: fold target deltas into a fresh

@@ -278,3 +278,89 @@ def test_adaptive_pruning_property(spark, tmp_work):
         assert states["force"] == states["adaptive"] == states["never"]
 
     check()
+
+
+# -- operational parity: validator + scheduled drain on join mode --------
+
+
+def test_join_mode_transient_failure_heals_via_drain(spark, tmp_work):
+    """The reference client loop (validate → divert → scheduled retry)
+    must behave identically on the JVM-only classifier: a poisoned row
+    diverts, its later healing update gates into the queue (per-key
+    FIFO), and the scheduled drain applies it — final state equals the
+    stateful-mode pipeline under the same config."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+    from hermes_spark.streaming.pipeline import CdcPipeline
+
+    t0 = dt.datetime.fromisoformat("2026-01-01 00:00:00")
+
+    def row(conv, idx, text, minutes):
+        return (conv, idx, "user", text, None, t0 + dt.timedelta(minutes=minutes))
+
+    b0 = [row("a", 0, "hello", 0), row("b", 0, "POISON v1", 1)]
+    b1 = [row("b", 0, "fixed v2", 60), row("c", 0, "new conv", 61),
+          row("a", 0, None, 62)]  # tombstone: NULL-verdict path too
+    for src in ("sj", "ss"):
+        for b in (b0, b1):
+            spark.createDataFrame(b, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp_work}/{src}")
+    VAL = lambda df: ~F.col("text").contains("POISON")  # noqa: E731
+    jp = JoinCdcPipeline(
+        spark, f"{tmp_work}/sj", f"{tmp_work}/jrun",
+        max_files_per_trigger=1, n_buckets=8,
+        validator=VAL, retry_every=1, maintain_every=2,
+    )
+    jp.run_available()
+    sp = CdcPipeline(
+        spark, f"{tmp_work}/ss", f"{tmp_work}/srun",
+        max_files_per_trigger=1, validator=VAL, retry_every=1,
+    )
+    sp.run_available()
+    got = {
+        (r.conv_id, r.turn_idx): r.text for r in jp.target_live().collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.text for r in sp.target_live().collect()
+    }
+    assert got == want == {("b", 0): "fixed v2", ("c", 0): "new conv"}
+    assert jp.dlq.read().count() == 0
+    # drain merges carry lineage through the shared sink
+    ops = {
+        r.op
+        for r in jp.sink.inner.metrics().select("op").distinct().collect()
+    }
+    assert "insert" in ops
+
+
+def test_join_mode_replay_after_sink_is_still_noop(spark, tmp_work):
+    """The inner exactly-once sink must preserve join-mode replay
+    idempotency (two-ledger when a DLQ is attached)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+    t0 = dt.datetime.fromisoformat("2026-01-01 00:00:00")
+    rows = [("a", i, "user", f"t{i}", None, t0) for i in range(5)]
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{tmp_work}/src")
+    jp = JoinCdcPipeline(
+        spark, f"{tmp_work}/src", f"{tmp_work}/run",
+        validator=lambda df: F.lit(True), retry_every=None,
+    )
+    jp.run_available()
+    before = jp.target_live().count()
+    v_before = jp.target.current_version()
+    # replay batch 0 manually through the sink
+    jp.sink(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), 0)
+    assert jp.target.current_version() == v_before
+    assert jp.target_live().count() == before
