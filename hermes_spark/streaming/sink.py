@@ -295,18 +295,27 @@ class ExactlyOnceSink:
             changes=observed, batch_id=batch_id, sidecar=sidecar
         )
         if committed is not None:
-            got = obs.get
+            try:
+                got = dict(obs.get)
+            except Exception:
+                # an all-stale batch writes an EMPTY delta; on a
+                # PARTITIONED target the repartition-by-bucket write
+                # runs ZERO tasks, the metrics row never materializes,
+                # and obs.get raises deep in py4j — the batch applied
+                # nothing, so every counter is zero (same guard as the
+                # join sink's density observation)
+                got = {}
             info = {
-                "rows": got["rows"],
-                "inserts": got["inserts"] or 0,
-                "updates": got["updates"] or 0,
-                "deletes": got["deletes"] or 0,
+                "rows": got.get("rows", 0) or 0,
+                "inserts": got.get("inserts", 0) or 0,
+                "updates": got.get("updates", 0) or 0,
+                "deletes": got.get("deletes", 0) or 0,
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }
             if per_type:
                 by_type = {
                     t: {
-                        f"{op}s": int(got[f"bt_{i}_{op}"] or 0)
+                        f"{op}s": int(got.get(f"bt_{i}_{op}", 0) or 0)
                         for op in ops
                     }
                     for i, t in enumerate(per_type)
