@@ -99,6 +99,27 @@ _MODIFIED_OPS = ("update", "modified")
 _REMOVED_OPS = ("delete", "removed")
 
 
+def union_fanout(
+    fanned: dict[str, DataFrame], type_col: str = "_objtype"
+) -> DataFrame:
+    """Union the per-type frames ``fanout_events`` returns into ONE
+    change stream tagged with the local type name — the shape the
+    sink's per-objtype counters consume
+    (``ExactlyOnceSink(type_col=..., type_names=tuple(fanned))``).
+    Column sets may differ per type (each type's mapping projects its
+    own payload); the union aligns by name and fills the gaps with
+    NULLs, exactly how the evolved target conforms them."""
+    out: DataFrame | None = None
+    for name, df in fanned.items():
+        tagged = df.withColumn(type_col, F.lit(name))
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError("union_fanout needs at least one type")
+    return out
+
+
 def fanout_events(
     events: DataFrame,
     types: Sequence[LocalTypeSpec],

@@ -128,3 +128,34 @@ def test_per_objtype_counters_in_sink_and_status(spark, tmp_work):
         "inserts": 1, "updates": 0, "deletes": 1
     }
     assert s["applied"]["inserts"] == 4  # global counters unchanged
+
+
+def test_union_fanout_feeds_per_objtype_counters(spark):
+    """union_fanout tags and unions fanout_events' per-type frames into
+    the one-stream shape the sink's type_col counters consume, aligning
+    differing payload columns by name."""
+    from pyspark.sql import functions as F
+
+    from hermes_spark.plans.mapping import union_fanout
+
+    users = spark.createDataFrame(
+        [(1, "insert", "alice")], "id int, op string, name string"
+    )
+    groups = spark.createDataFrame(
+        [(7, "delete", "eng")], "id int, op string, team string"
+    )
+    u = union_fanout({"user": users, "group": groups})
+    rows = {r._objtype: r for r in u.collect()}
+    assert set(rows) == {"user", "group"}
+    assert rows["user"].name == "alice" and rows["user"].team is None
+    assert rows["group"].team == "eng" and rows["group"].name is None
+    counts = {
+        (r._objtype, r.op): r["count"]
+        for r in u.groupBy("_objtype", "op").count().collect()
+    }
+    assert counts == {("user", "insert"): 1, ("group", "delete"): 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        union_fanout({})
