@@ -364,3 +364,59 @@ def test_join_mode_replay_after_sink_is_still_noop(spark, tmp_work):
     jp.sink(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA), 0)
     assert jp.target.current_version() == v_before
     assert jp.target_live().count() == before
+
+
+def test_join_mode_dlq_kill_resume_equals_uninterrupted(spark, tmp_work):
+    """Kill/resume with the operational surface ON (validator + drain):
+    the resumed join-mode run must equal an uninterrupted one — the
+    two-ledger protocol through the inner sink survives the restart."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+    t0 = dt.datetime.fromisoformat("2026-01-01 00:00:00")
+
+    def row(conv, idx, text, minutes):
+        return (conv, idx, "user", text, None, t0 + dt.timedelta(minutes=minutes))
+
+    batches = [
+        [row("a", 0, "a0", 0), row("b", 0, "POISON", 1)],
+        [row("a", 1, "a1", 60), row("c", 0, "c0", 61)],
+        [row("b", 0, "healed", 120), row("a", 0, None, 121)],  # heal + tombstone
+        [row("d", 0, "d0", 180)],
+    ]
+    VAL = lambda df: ~F.col("text").contains("POISON")  # noqa: E731
+    kw = dict(max_files_per_trigger=1, n_buckets=8, validator=VAL, retry_every=1)
+
+    src_u = f"{tmp_work}/src_u"
+    for b in batches:
+        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_u)
+    ref = JoinCdcPipeline(spark, src_u, f"{tmp_work}/uninterrupted", **kw)
+    ref.run_available()
+
+    src_k = f"{tmp_work}/src_k"
+    for b in batches[:2]:
+        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_k)
+    p1 = JoinCdcPipeline(spark, src_k, f"{tmp_work}/resumed", **kw)
+    p1.run_available()  # the "kill"
+    p1.maintain()       # mid-downtime maintenance
+    for b in batches[2:]:
+        spark.createDataFrame(b, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_k)
+    p2 = JoinCdcPipeline(spark, src_k, f"{tmp_work}/resumed", **kw)
+    p2.run_available()
+
+    a = {(r.conv_id, r.turn_idx): r.text for r in ref.target_live().collect()}
+    b = {(r.conv_id, r.turn_idx): r.text for r in p2.target_live().collect()}
+    assert a == b
+    assert ("a", 0) not in b            # tombstone applied
+    assert b[("b", 0)] == "healed"      # drain healed across the kill
+    assert p2.dlq.read().count() == 0 and ref.dlq.read().count() == 0
