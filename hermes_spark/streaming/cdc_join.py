@@ -134,13 +134,9 @@ class JoinCdcSink:
         self.dlq = dlq
 
     def __call__(self, turns: DataFrame, batch_id: int) -> None:
-        ids = self.target.committed_batch_ids()
-        # format-neutral: Iceberg summaries stamp ids as strings
-        t_done = batch_id in ids or str(batch_id) in ids
-        q_done = (
-            self.dlq is None
-            or f"sink-{batch_id}" in self.dlq.table.committed_batch_ids()
-        )
+        # the two-ledger replay probe is the inner sink's — ONE
+        # implementation of the id scheme and membership test
+        t_done, q_done = self.inner.ledger_state(batch_id)
         if t_done and q_done:
             # replay no-op — but the batch plan must still run so any
             # upstream stateful operator commits its state stores

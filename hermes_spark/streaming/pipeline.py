@@ -63,7 +63,9 @@ def drain_queue(
             F.xxhash64(
                 F.sort_array(
                     F.collect_list(
-                        F.concat_ws("\x00", "conv_id", "turn_idx", "offset")
+                        # the queue's OWN key columns — this helper is
+                        # cross-mode and must not bake in one key shape
+                        F.concat_ws("\x00", *dlq.key, "offset")
                     )
                 )
             ).alias("h"),

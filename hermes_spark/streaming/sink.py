@@ -133,13 +133,41 @@ class ExactlyOnceSink:
         undetected on the cluster twin."""
         return batch_id in ids or str(batch_id) in ids
 
-    def __call__(self, changes: DataFrame, batch_id: int) -> None:
-        t0 = time.monotonic()
+    def _delta_is_empty(self, committed) -> bool | None:
+        """True/False when the committed delta's data files can be
+        inspected driver-side (local version dirs), None when the
+        table format cannot show us (Iceberg snapshot ids) — callers
+        treat None as best-effort."""
+        import os
+
+        vd = getattr(self.target, "_version_dir", None)
+        if vd is None or not isinstance(committed, int):
+            return None
+        try:
+            path = vd(committed)
+            for _root, _dirs, files in os.walk(path):
+                if any(f.endswith(".parquet") for f in files):
+                    return False
+            return True
+        except Exception:
+            return None
+
+    def ledger_state(self, batch_id) -> tuple[bool, bool]:
+        """(target committed, queue closed) for this batch — THE
+        two-ledger replay probe, exposed so wrapping sinks (the join
+        classifier's fast path) share one implementation of the id
+        scheme and the format-neutral membership test instead of
+        duplicating the protocol."""
         t_done = self._in_ledger(batch_id, self.target.committed_batch_ids())
         q_done = (
             self.dlq is None
             or f"sink-{batch_id}" in self.dlq.table.committed_batch_ids()
         )
+        return t_done, q_done
+
+    def __call__(self, changes: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        t_done, q_done = self.ledger_state(batch_id)
         if t_done:
             # replayed batch: the MERGE will no-op, but the batch plan
             # must still execute end-to-end — Spark validates that
@@ -303,7 +331,14 @@ class ExactlyOnceSink:
                 # runs ZERO tasks, the metrics row never materializes,
                 # and obs.get raises deep in py4j — the batch applied
                 # nothing, so every counter is zero (same guard as the
-                # join sink's density observation)
+                # join sink's density observation).  Zero-fill is gated
+                # on the delta ACTUALLY being empty where the table can
+                # show us (local version dirs): swallowing a real
+                # observation failure on a non-empty batch would
+                # silently under-report applied work in every metrics
+                # surface.
+                if self._delta_is_empty(committed) is False:
+                    raise
                 got = {}
             info = {
                 "rows": got.get("rows", 0) or 0,

@@ -420,3 +420,52 @@ def test_join_mode_dlq_kill_resume_equals_uninterrupted(spark, tmp_work):
     assert ("a", 0) not in b            # tombstone applied
     assert b[("b", 0)] == "healed"      # drain healed across the kill
     assert p2.dlq.read().count() == 0 and ref.dlq.read().count() == 0
+
+
+def test_join_mode_crash_between_ledgers_reenqueues_split(spark, tmp_work):
+    """The t_done-without-q_done window on the JOIN classifier: a crash
+    between the target commit and the queue commit must, on replay,
+    re-enqueue the PERSISTED split (not skip it, not recompute it) —
+    the fall-through path the fast replay return must never swallow."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hermes_spark.schema import TRANSCRIPT_SCHEMA
+    from hermes_spark.streaming.cdc_join import JoinCdcPipeline
+
+    t0 = dt.datetime.fromisoformat("2026-01-01 00:00:00")
+    rows = [
+        ("a", 0, "user", "ok", None, t0),
+        ("b", 0, "user", "POISON", None, t0),
+    ]
+    src = f"{tmp_work}/src"
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    jp = JoinCdcPipeline(
+        spark, src, f"{tmp_work}/run",
+        validator=lambda df: ~F.col("text").contains("POISON"),
+        retry_every=None,
+    )
+    batch = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    real_enqueue = jp.dlq.enqueue
+    jp.dlq.enqueue = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        import pytest as _p
+
+        with _p.raises(RuntimeError, match="crash"):
+            jp.sink(batch, 0)
+    finally:
+        jp.dlq.enqueue = real_enqueue
+    # target committed, queue did not
+    assert 0 in jp.target.committed_batch_ids()
+    assert "sink-0" not in jp.dlq.table.committed_batch_ids()
+    # replay: falls through the fast path and re-enqueues the split
+    jp.sink(batch, 0)
+    assert "sink-0" in jp.dlq.table.committed_batch_ids()
+    queued = {(r.conv_id, r.turn_idx) for r in jp.dlq.read().collect()}
+    assert queued == {("b", 0)}
+    # the valid row applied, the poisoned one did not
+    live = {(r.conv_id, r.turn_idx) for r in jp.target_live().collect()}
+    assert live == {("a", 0)}
