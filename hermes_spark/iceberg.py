@@ -720,13 +720,18 @@ class IcebergTable:
         # secret destruction overrides sidecar retention entirely: the
         # DLQ-split rows carry the same columns, so every sidecar row
         # (latched batches included) is wiped — the local twin's
-        # vacuum(keep_sidecars=0) makes the same trade
+        # vacuum(keep_sidecars=0) makes the same trade.  Only a
+        # missing sidecar table may be ignored: a TRANSIENT failure
+        # here (catalog hiccup, concurrent commit) must propagate, or
+        # secret bytes silently survive in sidecar rows that the
+        # following vacuum's keep-set then preserves indefinitely.
         try:
             self.spark.sql(
                 f"DELETE FROM {self._sidecar_identifier} WHERE TRUE"
             )
-        except Exception:
-            pass
+        except Exception as e:
+            if not _is_missing_table_error(e):
+                raise
         # vacuum latches the expiring batch ids first, so replay
         # detection survives the snapshot expiry that destroys the
         # old files' secret values

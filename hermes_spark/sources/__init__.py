@@ -157,6 +157,32 @@ def _jdbc_snapshot(spark, scheme: str, rest: str, reader_factory=None):
     table, query = params.pop("dbtable", None), params.pop("query", None)
     if not (table or query):
         raise ValueError(f"{scheme} source needs ?dbtable=NAME or ?query=SQL")
+    if table and query:
+        # dbtable used to silently win and the query was dropped —
+        # the scan then reads the wrong state with no local error
+        raise ValueError(
+            f"{scheme} source: ?dbtable= and ?query= are mutually "
+            "exclusive — got both"
+        )
+    if query:
+        # parse_qsl splits pairs on '&' BEFORE this code sees them, so
+        # an un-encoded '&' inside the SQL truncates the query (the
+        # surviving prefix may still be valid SQL and run, silently
+        # wrong) and the tail lands in params as bogus option keys.
+        # A properly quote_plus-encoded query decodes cleanly ('&'
+        # arrives as %26) and trips neither check.  ('=' is safe
+        # un-encoded: parse_qsl splits each pair on the FIRST '='
+        # only.)
+        bogus = [
+            k for k in params
+            if " " in k or not k.replace("_", "").replace(".", "").isalnum()
+        ]
+        if bogus:
+            raise ValueError(
+                "query= value appears to contain an un-encoded '&' — "
+                "URL-encode the SQL (urllib.parse.quote_plus); stray "
+                f"fragments parsed as option keys: {sorted(bogus)}"
+            )
     if scheme == "jdbc":
         url = base
     elif scheme == "oracle":

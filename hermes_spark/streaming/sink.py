@@ -141,7 +141,15 @@ class ExactlyOnceSink:
         import os
 
         vd = getattr(self.target, "_version_dir", None)
-        if vd is None or not isinstance(committed, int):
+        if vd is None:
+            # Iceberg target: merge() returns an int ONLY when the
+            # MERGE created a snapshot, i.e. the delta changed rows —
+            # an empty MERGE returns the "batch-<id>" string marker.
+            # An int therefore PROVES the delta was non-empty, so a
+            # real Observation failure must propagate instead of
+            # zero-filling lineage counters for an applied batch.
+            return False if isinstance(committed, int) else None
+        if not isinstance(committed, int):
             return None
         try:
             path = vd(committed)

@@ -234,6 +234,53 @@ def test_jdbc_requires_dbtable_or_query(spark):
         snapshot(spark, "postgresql://h:5432/db", reader_factory=_StubReader)
 
 
+def test_jdbc_dbtable_and_query_mutually_exclusive(spark):
+    """dbtable used to silently win over query — the scan then read
+    the wrong state with no local error."""
+    import pytest
+
+    from hermes_spark.sources import snapshot
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snapshot(
+            spark,
+            "postgresql://h:5432/db?dbtable=t&query=SELECT 1",
+            reader_factory=_StubReader,
+        )
+
+
+def test_jdbc_unencoded_query_ampersand_detected(spark):
+    """An un-encoded '&' inside query= truncates the SQL at parse_qsl
+    time (the surviving prefix may still run, silently wrong); the
+    stray fragments land in params as bogus keys and must raise."""
+    import pytest
+
+    from hermes_spark.sources import snapshot
+
+    with pytest.raises(ValueError, match="URL-encode"):
+        snapshot(
+            spark,
+            "postgresql://h:5432/db?query=SELECT a FROM t WHERE x=1 && y=2",
+            reader_factory=_StubReader,
+        )
+
+
+def test_jdbc_encoded_query_roundtrips(spark):
+    """A quote_plus-encoded query decodes cleanly: separators arrive
+    as literals inside the value, not as pair boundaries."""
+    import urllib.parse
+
+    from hermes_spark.sources import snapshot
+
+    sql = "SELECT a, b FROM t WHERE x = 1 AND tag = 'a&b=c'"
+    got = snapshot(
+        spark,
+        "postgresql://h:5432/db?query=" + urllib.parse.quote_plus(sql),
+        reader_factory=_StubReader,
+    )
+    assert got["query"] == sql
+
+
 def test_kafka_stream_option_plumbing(spark):
     """Bus-consumer connector (S8/S9): option plumbing pinned jar-free
     with the same injectable reader the jdbc tests use."""

@@ -554,6 +554,48 @@ def test_purge_columns_rewrites_before_destructive_ddl():
     fake.index_of("sql", "DELETE FROM cat.db.t_sidecar WHERE TRUE")
 
 
+def test_purge_columns_transient_sidecar_delete_propagates():
+    """A TRANSIENT failure of the sidecar wipe (catalog hiccup,
+    concurrent commit — anything but a missing table) must propagate:
+    swallowing it leaves secret bytes readable in sidecar rows that
+    the following vacuum's keep-set then preserves indefinitely."""
+    fake = FakeIcebergSession(snapshots=[(1, "b1")])
+    t = _table(fake)
+
+    class _ReadDF(_FakeDF):
+        pass
+
+    t.read = lambda **kw: _ReadDF(fake)
+    real_sql = fake.sql
+
+    def flaky_sql(stmt):
+        if stmt.startswith("DELETE FROM cat.db.t_sidecar"):
+            raise RuntimeError("connection reset by peer")
+        return real_sql(stmt)
+
+    fake.sql = flaky_sql
+    with pytest.raises(RuntimeError, match="connection reset"):
+        t.purge_columns(["v"])
+    # the failure surfaced BEFORE the snapshot expiry ran — the caller
+    # knows destruction did not complete
+    with pytest.raises(AssertionError):
+        fake.index_of("sql", "expire_snapshots")
+
+
+def test_purge_columns_missing_sidecar_tolerated():
+    """Only a missing sidecar table may be ignored (nothing to wipe);
+    the purge then proceeds to the snapshot expiry as before."""
+    fake = FakeIcebergSession(snapshots=[(1, "b1")], sidecar_exists=False)
+    t = _table(fake)
+
+    class _ReadDF(_FakeDF):
+        pass
+
+    t.read = lambda **kw: _ReadDF(fake)
+    t.purge_columns(["v"])
+    fake.index_of("sql", "expire_snapshots(table => 'db.t',")
+
+
 def test_migrate_key_drops_removed_columns_after_rewrite():
     """migrate_key may read the old key columns inside the transform —
     the DROP of removed columns must come after the rewrite commit."""
