@@ -18,7 +18,19 @@ Spark cluster at 10^12-turn scale (partitioned state, salted skew handling,
 broadcast dims, checkpointed offsets).
 """
 
+from hermes_spark.config import (
+    ConfigError,
+    build_pipeline,
+    load_config,
+    register_validator,
+)
 from hermes_spark.session import build_session
 
-__all__ = ["build_session"]
+__all__ = [
+    "build_session",
+    "build_pipeline",
+    "load_config",
+    "register_validator",
+    "ConfigError",
+]
 __version__ = "0.1.0"

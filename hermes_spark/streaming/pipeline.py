@@ -18,7 +18,7 @@ run as sibling queries over the same source.
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -122,14 +122,35 @@ class CdcPipeline:
     # sibling readers).  Full O(table) rebasing stays out-of-band via
     # maintain(mode="full").
     maintain_every: int | None = None
+    # per-batch reshaping between classifier and commit — the client
+    # datamodel fan-out (reference clients/datamodel.py:497-621): runs
+    # inside the sink on the classified change frame, BEFORE the
+    # validator split (the validator therefore sees the transformed
+    # columns).  ``type_col``/``type_names`` feed the sink's
+    # per-objtype diff counters; ``target_schema`` overrides
+    # CHANGE_EVENT_SCHEMA when the transform reshapes the payload
+    # (the config layer computes it by analyzing the transform
+    # against an empty frame — no data runs at build time).
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    type_col: str | None = None
+    type_names: "Sequence[str] | None" = None
+    target_schema: T.StructType | None = None
+    # the MERGE key.  A fan-out emits ONE event per local type for the
+    # same (conv_id, turn_idx) — the reference applies each to a
+    # distinct local object (clients/datamodel.py:497-621), so a
+    # shared target must key by (type, conv_id, turn_idx) or sibling
+    # types would overwrite each other
+    target_key: "Sequence[str]" = ("conv_id", "turn_idx")
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
+        schema = self.target_schema or CHANGE_EVENT_SCHEMA
+        key = list(self.target_key)
         self.target = ParquetMergeTable(
             self.spark,
             os.path.join(self.work_dir, "target"),
-            key=["conv_id", "turn_idx"],
-            schema=CHANGE_EVENT_SCHEMA,
+            key=key,
+            schema=schema,
             # compaction is out-of-band for the streaming hot path: the
             # sink commit stays O(batch) with no periodic full-table
             # rewrite inside foreachBatch (call target.compact() from a
@@ -141,18 +162,23 @@ class CdcPipeline:
             from hermes_spark.streaming.errorqueue import DeadLetterQueue
 
             payload = T.StructType(
-                [f for f in CHANGE_EVENT_SCHEMA.fields if f.name != "op"]
+                [f for f in schema.fields if f.name != "op"]
             )
             self.dlq = DeadLetterQueue(
                 self.spark,
                 os.path.join(self.work_dir, "dlq"),
-                key=["conv_id", "turn_idx"],
+                key=key,
                 payload_schema=payload,
                 fk_map=self.fk_map,
                 foreignkeys_policy=self.foreignkeys_policy,
             )
         self.sink = ExactlyOnceSink(
-            self.target, dlq=self.dlq, validator=self.validator
+            self.target,
+            transform=self.transform,
+            dlq=self.dlq,
+            validator=self.validator,
+            type_col=self.type_col,
+            type_names=self.type_names,
         )
 
     # -- foreachBatch body: sink + scheduled retry ---------------------
@@ -193,7 +219,10 @@ class CdcPipeline:
             return 0
         return drain_queue(
             self.dlq, self.sink, self.validator,
-            [f.name for f in CHANGE_EVENT_SCHEMA.fields],
+            # the LIVE target schema, not the static default: mid-stream
+            # evolution (fanout payloads, dataschema events) must be
+            # visible to the drain's re-apply projection
+            [f.name for f in self.target.schema.fields],
             tag=tag, max_passes=max_passes,
         )
 
