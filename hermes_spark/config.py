@@ -138,10 +138,14 @@ _FK_POLICIES = {"disabled", "on_remove_event", "on_every_event"}
 _MODES = {"stateful", "join"}
 
 
-def _validate_mapping_spec(spec: Any, path: str) -> None:
+def _validate_mapping_spec(spec: Any, path: str, allow_secret: bool = True) -> None:
     """One attrsmapping entry, in the plans.mapping spec language
     (reference attrsmapping: column / list-of-columns / template,
-    hermes-server-config-example.yml:127-139 and 313-341)."""
+    hermes-server-config-example.yml:127-139 and 313-341).  The
+    mapping form also takes ``secret: true`` (reference per-attr
+    secret flag, lib/config/__init__.py:175-183): secret attrs are
+    physically purged from the cached target when later removed from
+    the datamodel."""
     if isinstance(spec, str):
         return
     if isinstance(spec, list):
@@ -149,15 +153,45 @@ def _validate_mapping_spec(spec: Any, path: str) -> None:
             raise ConfigError(path, "column list must be non-empty strings")
         return
     if isinstance(spec, Mapping):
-        _check_keys(spec, path, {"expr"}, set())
-        if not isinstance(spec["expr"], str) or not spec["expr"].strip():
+        optional = {"secret"} if allow_secret else set()
+        _check_keys(spec, path, set(), {"expr", "col"} | optional)
+        if ("expr" in spec) == ("col" in spec):
+            raise ConfigError(path, "give exactly one of expr: or col:")
+        if "expr" in spec and (
+            not isinstance(spec["expr"], str) or not spec["expr"].strip()
+        ):
             raise ConfigError(f"{path}.expr", "expected a non-empty SQL expression")
+        if "col" in spec and (
+            not isinstance(spec["col"], str) or not spec["col"].strip()
+        ):
+            raise ConfigError(f"{path}.col", "expected a column name")
+        if "secret" in spec and not isinstance(spec["secret"], bool):
+            raise ConfigError(f"{path}.secret", "expected a boolean")
         return
     raise ConfigError(
         path,
         f"bad mapping spec {spec!r} — use a column name, a list of "
-        "column names, or {expr: <SQL>}",
+        "column names, or a mapping with expr:/col: (+ secret:)",
     )
+
+
+def _spec_is_secret(spec: Any) -> bool:
+    return isinstance(spec, Mapping) and bool(spec.get("secret"))
+
+
+def _spec_col(spec):
+    """A normalized one-column spec (str | {"expr": ...}) as a Column."""
+    return F.col(spec) if isinstance(spec, str) else F.expr(spec["expr"])
+
+
+def _normalize_spec(spec: Any):
+    """Strip the config-level ``secret``/``col`` sugar down to the
+    plans.mapping spec language (str | list[str] | {"expr": ...})."""
+    if isinstance(spec, Mapping):
+        if "col" in spec:
+            return spec["col"]
+        return {"expr": spec["expr"]}
+    return spec
 
 
 def load_config(source) -> dict:
@@ -197,7 +231,7 @@ def load_config(source) -> dict:
         p, p_path, {"source", "work_dir"},
         {"mode", "watermark", "max_files_per_trigger", "n_buckets",
          "validator", "retry_every", "maintain_every",
-         "foreignkeys_policy", "foreignkeys"},
+         "foreignkeys_policy", "foreignkeys", "tombstone"},
     )
     mode = _typed(p, p_path, "mode", str, default="stateful", enum=_MODES)
     pipeline = {
@@ -240,6 +274,25 @@ def load_config(source) -> dict:
     else:
         pipeline["validator"] = None
 
+    tb = p.get("tombstone")
+    pipeline["tombstone_mode"] = "drop"
+    pipeline["tombstone_retention"] = None
+    if tb is not None:
+        t_path = f"{p_path}.tombstone"
+        tb = _require_mapping(tb, t_path)
+        _check_keys(tb, t_path, {"mode"}, {"retention"})
+        pipeline["tombstone_mode"] = _typed(
+            tb, t_path, "mode", str, enum={"drop", "retain"}
+        )
+        pipeline["tombstone_retention"] = _typed(tb, t_path, "retention", str)
+        if (
+            pipeline["tombstone_retention"] is not None
+            and pipeline["tombstone_mode"] != "retain"
+        ):
+            raise ConfigError(
+                f"{t_path}.retention", "only meaningful with mode: retain"
+            )
+
     fks = p.get("foreignkeys")
     fk_map: list[tuple[str, str]] = []
     if fks is not None:
@@ -273,13 +326,34 @@ def load_config(source) -> dict:
                 d_path, "datamodel fan-out requires pipeline.mode: stateful"
             )
         dm = _require_mapping(dm, d_path)
-        _check_keys(dm, d_path, {"types"}, {"passthrough", "type_col"})
+        _check_keys(dm, d_path, {"types"}, {"passthrough", "type_col", "key"})
         passthrough = _str_list(dm, d_path, "passthrough", ["ts"])
         type_col = _typed(dm, d_path, "type_col", str, default="_objtype")
         types_node = _require_mapping(dm["types"], f"{d_path}.types")
         if not types_node:
             raise ConfigError(f"{d_path}.types", "declare at least one type")
-        reserved = {"conv_id", "turn_idx", "op", type_col, *passthrough}
+        # declarative pkey override: local objects key on these derived
+        # columns instead of the default (conv_id, turn_idx) tuple.
+        # Changing this between runs over the same work_dir triggers a
+        # LIVE key migration at build time (the reference's
+        # datamodel-driven pkey change, scenario-01 steps 301-307)
+        key_specs: dict[str, Any] = {}
+        kn = dm.get("key")
+        if kn is not None:
+            k_path = f"{d_path}.key"
+            kn = _require_mapping(kn, k_path)
+            if not kn:
+                raise ConfigError(k_path, "declare at least one key column")
+            for kname, kspec in kn.items():
+                kp = f"{k_path}.{kname}"
+                _validate_mapping_spec(kspec, kp, allow_secret=False)
+                if isinstance(kspec, list):
+                    raise ConfigError(
+                        kp, "a key column maps to one column or one expr"
+                    )
+                key_specs[str(kname)] = _normalize_spec(kspec)
+        reserved = {"conv_id", "turn_idx", "op", type_col, *passthrough,
+                    *key_specs}
         types = []
         for name, spec in types_node.items():
             t_path = f"{d_path}.types.{name}"
@@ -301,9 +375,11 @@ def load_config(source) -> dict:
                 {
                     "name": str(name),
                     "attrsmapping": {
-                        k: (dict(v) if isinstance(v, Mapping) else v)
-                        for k, v in am.items()
+                        k: _normalize_spec(v) for k, v in am.items()
                     },
+                    "secret_attrs": sorted(
+                        k for k, v in am.items() if _spec_is_secret(v)
+                    ),
                     "allow_empty": _typed(
                         spec, t_path, "allow_empty", bool, default=False
                     ),
@@ -312,6 +388,7 @@ def load_config(source) -> dict:
         out["datamodel"] = {
             "passthrough": passthrough,
             "type_col": type_col,
+            "key": key_specs or None,
             "types": types,
         }
 
@@ -350,6 +427,163 @@ def _first_line(e: Exception) -> str:
     return str(e).strip().splitlines()[0] if str(e).strip() else type(e).__name__
 
 
+def _reconcile_target(pipe, key_specs: dict | None, secret_attrs: set) -> None:
+    """Reconcile a re-declared datamodel against the DISK truth of an
+    existing target — the reference server's per-cycle schema-registry
+    diff (hermesserver.py:340-443) run once at build time:
+
+    1. **Schema diff** — a changed column set publishes an auditable
+       ``dataschema`` event (old-era sibling readers replay the adds);
+       removed attributes narrow the VIEW but their values stay on
+       disk until purged, exactly the reference's remove-attribute
+       semantics (scenario-01 steps 206/210).
+    2. **Live pkey migration** — a changed declared key re-keys every
+       live row and retained tombstone in place (int↔tuple both
+       directions, scenario-01 steps 301-307); the batch-id ledger
+       survives, so pre-migration replays stay no-ops.
+    3. **Secret purge** — attrs previously declared ``secret: true``
+       that vanished from the datamodel are physically destroyed
+       (column purge + snapshot vacuum), never left readable in old
+       snapshots (reference hermesserver.py:411-429).
+
+    Tables created before create-record logging (no disk truth) are
+    left untouched."""
+    tgt = pipe.target
+    # the DECLARED truth comes from the config (pipe.target_schema /
+    # target_key), never from tgt.schema: the table constructor replays
+    # logged dataschema events on open, so tgt.schema already mixes in
+    # disk history — diffing it against disk would always read "equal"
+    declared_schema = T.StructType(list(pipe.target_schema.fields))
+    declared_key = list(pipe.target_key)
+    has_data = tgt.current_version() is not None
+    disk_schema = tgt.logged_schema()
+    disk_key = tgt.logged_key()
+
+    # -- 0. empty table: a redeclaration IS the new disk truth --------
+    # no data ⇒ nothing to migrate or audit; but the create record must
+    # follow the declaration or the first build-after-data would run a
+    # bogus migration against a key that never held a row
+    if not has_data:
+        changed_key = disk_key is not None and disk_key != declared_key
+        changed_schema = disk_schema is not None and [
+            (f.name, f.dataType.simpleString()) for f in disk_schema.fields
+        ] != [
+            (f.name, f.dataType.simpleString()) for f in declared_schema.fields
+        ]
+        if changed_key or changed_schema:
+            tgt._append_record(
+                {
+                    "kind": "create",
+                    "info": {
+                        "key": declared_key,
+                        "schema": [
+                            [f.name, f.dataType.simpleString()]
+                            for f in declared_schema.fields
+                        ],
+                    },
+                }
+            )
+        if sorted(secret_attrs) != sorted(_logged_secrets(tgt)):
+            tgt._append_record(
+                {"kind": "secrets", "info": {"attrs": sorted(secret_attrs)}}
+            )
+        return
+
+    # -- 1. schema diff → auditable dataschema event ------------------
+    if disk_schema is not None:
+        tgt.schema = disk_schema
+        info = _pending_schema_diff(tgt, declared_schema)
+        if info is not None:
+            tgt.evolve(declared_schema)
+        # evolve keeps removed columns visible (non-breaking for
+        # mid-stream consumers); the declarative layer narrows the
+        # view to the declared set — disk bytes persist until purge
+        tgt.schema = declared_schema
+
+    # -- 2. declared-key change → live migration ----------------------
+    if disk_key is not None and disk_key != declared_key:
+        if pipe.dlq is not None and pipe.dlq.read().count() > 0:
+            raise ConfigError(
+                "hermes-spark.datamodel.key",
+                "drain the error queue before a pkey migration — queued "
+                "rows are keyed by the old pkey",
+            )
+        declared_names = {f.name for f in declared_schema.fields}
+        extra = [
+            f for f in (disk_schema.fields if disk_schema else [])
+            if f.name in disk_key and f.name not in declared_names
+        ]
+        missing = [
+            k for k in disk_key
+            if k not in declared_names and k not in {f.name for f in extra}
+        ]
+        if missing:
+            raise ConfigError(
+                "hermes-spark.datamodel.key",
+                f"cannot migrate: old key column(s) {missing} have no "
+                "recorded type (table predates schema logging)",
+            )
+        # read the old generation grouped by the OLD key, with the old
+        # key columns temporarily widened back into the schema
+        tgt.schema = T.StructType(list(declared_schema.fields) + extra)
+        tgt.key = list(disk_key)
+        out_fields = [f.name for f in declared_schema.fields]
+
+        def _migrate(df):
+            out = df
+            for kname, kspec in (key_specs or {}).items():
+                out = out.withColumn(kname, _spec_col(kspec))
+            return out.select(*out_fields)
+
+        tgt.migrate_key(declared_key, _migrate, declared_schema)
+
+    # -- 3. removed secret attrs → physical purge ---------------------
+    prev_secrets = _logged_secrets(tgt)
+    declared_names = {f.name for f in declared_schema.fields}
+    gone = sorted(a for a in prev_secrets if a not in declared_names)
+    if gone:
+        tgt.purge_columns(gone)
+    if sorted(secret_attrs) != sorted(prev_secrets):
+        tgt._append_record(
+            {"kind": "secrets", "info": {"attrs": sorted(secret_attrs)}}
+        )
+
+
+def _logged_secrets(tgt) -> list[str]:
+    """The secret-attr set the log currently declares (last wins)."""
+    attrs: list[str] = []
+    for r in tgt._read_log():
+        if r.get("kind") == "secrets":
+            attrs = (r.get("info") or {}).get("attrs", [])
+    return attrs
+
+
+def _pending_schema_diff(tgt, declared_schema) -> dict | None:
+    """The dataschema event a reconcile WOULD publish, or None when it
+    would be a duplicate.  Removed columns stay in ``logged_schema``
+    until purged (their bytes persist on disk), so without this check
+    every rebuild over the same work_dir would republish the identical
+    removal event — once is the audit, twice is churn."""
+    from hermes_spark.operators.events import diff_schemas
+
+    diff = diff_schemas(tgt.schema, declared_schema)
+    if diff.empty:
+        return None
+    by_name = {f.name: f for f in declared_schema.fields}
+    info = {
+        "added": [
+            {"name": c, "type": by_name[c].dataType.simpleString()}
+            for c in diff.added
+        ],
+        "removed": diff.removed,
+        "retyped": [list(t) for t in diff.retyped],
+    }
+    events = tgt.dataschema_events()
+    if events and (events[-1].get("info") or {}) == info:
+        return None
+    return info
+
+
 def build_pipeline(spark: SparkSession, config, **overrides):
     """Construct a ready-to-run pipeline from a config (path, YAML
     text, or mapping).  Keyword overrides replace pipeline-section
@@ -386,10 +620,13 @@ def build_pipeline(spark: SparkSession, config, **overrides):
     type_col = None
     type_names: tuple[str, ...] | None = None
     target_schema = None
+    key_specs: dict | None = None
+    secret_attrs: set[str] = set()
     dm = cfg.get("datamodel")
     if dm is not None:
         types = []
         for t in dm["types"]:
+            secret_attrs.update(t["secret_attrs"])
             for attr, m in t["attrsmapping"].items():
                 if isinstance(m, str):
                     cols = [m]
@@ -426,15 +663,34 @@ def build_pipeline(spark: SparkSession, config, **overrides):
         passthrough = tuple(dm["passthrough"])
         type_col = dm["type_col"]
         type_names = tuple(t.name for t in types)
+        key_specs = dm.get("key")
+        if key_specs:
+            # declared key exprs must analyze over the change-event
+            # columns (conv_id/turn_idx/payload survive the fan-out)
+            for kname, kspec in key_specs.items():
+                if isinstance(kspec, str):
+                    continue
+                kp = f"hermes-spark.datamodel.key.{kname}"
+                try:
+                    probe.select(F.expr(kspec["expr"]))
+                except Exception as e:
+                    raise ConfigError(
+                        f"{kp}.expr", f"does not analyze: {_first_line(e)}"
+                    ) from e
 
-        def transform(df, _types=types, _pt=passthrough, _tc=type_col):
-            return union_fanout(
+        def transform(
+            df, _types=types, _pt=passthrough, _tc=type_col, _ks=key_specs
+        ):
+            out = union_fanout(
                 fanout_events(
                     df, _types, key_cols=("conv_id", "turn_idx"),
                     passthrough=_pt,
                 ),
                 type_col=_tc,
             )
+            for kname, kspec in (_ks or {}).items():
+                out = out.withColumn(kname, _spec_col(kspec))
+            return out
 
         # derive the target schema from the ANALYZED fan-out plan: the
         # MERGE column list, DLQ payload and evolution all follow it.
@@ -463,8 +719,18 @@ def build_pipeline(spark: SparkSession, config, **overrides):
         maintain_every=pcfg["maintain_every"],
     )
     if mode == "join":
+        if pcfg["tombstone_mode"] != "drop":
+            raise ConfigError(
+                "hermes-spark.pipeline.tombstone.mode",
+                "retain (trashbin) requires pipeline.mode: stateful — "
+                "the join-mode state table already retains tombstones "
+                "as state memory",
+            )
         pipe = JoinCdcPipeline(**common)
     else:
+        base_key = (
+            tuple(key_specs) if key_specs else ("conv_id", "turn_idx")
+        )
         pipe = CdcPipeline(
             watermark=pcfg["watermark"],
             transform=transform,
@@ -472,11 +738,17 @@ def build_pipeline(spark: SparkSession, config, **overrides):
             type_names=type_names,
             target_schema=target_schema,
             target_key=(
-                (type_col, "conv_id", "turn_idx")
-                if type_col is not None else ("conv_id", "turn_idx")
+                (type_col, *base_key) if type_col is not None else base_key
             ),
+            tombstone_mode=pcfg["tombstone_mode"],
+            tombstone_retention=pcfg["tombstone_retention"],
             **common,
         )
+        if dm is not None:
+            # only a declared datamodel OWNS the target schema/key —
+            # plain pipelines evolve via the sink's mid-stream
+            # auto-evolution and must not be narrowed back here
+            _reconcile_target(pipe, key_specs, secret_attrs)
 
     st = cfg.get("status")
     if st is not None:

@@ -141,6 +141,14 @@ class CdcPipeline:
     # shared target must key by (type, conv_id, turn_idx) or sibling
     # types would overwrite each other
     target_key: "Sequence[str]" = ("conv_id", "turn_idx")
+    # trashbin semantics (reference trashbin_purgeInterval,
+    # clients/__init__.py:757-813): "retain" keeps op='delete' rows as
+    # tombstone state — target_live() hides them, trashbin() shows
+    # them, a re-delivered row restores the key (the classifier
+    # re-inserts), and maintain(mode="full") purges tombstones older
+    # than ``tombstone_retention`` (event-time interval vs max ts)
+    tombstone_mode: str = "drop"
+    tombstone_retention: str | None = None
 
     def __post_init__(self) -> None:
         self.checkpoint = os.path.join(self.work_dir, "checkpoint")
@@ -151,6 +159,8 @@ class CdcPipeline:
             os.path.join(self.work_dir, "target"),
             key=key,
             schema=schema,
+            tombstone_mode=self.tombstone_mode,
+            tombstone_retention=self.tombstone_retention,
             # compaction is out-of-band for the streaming hot path: the
             # sink commit stays O(batch) with no periodic full-table
             # rewrite inside foreachBatch (call target.compact() from a
@@ -287,9 +297,23 @@ class CdcPipeline:
                 pass
 
     def target_live(self) -> DataFrame:
-        """Current target table state (all rows are live; deletes were
-        applied as physical removes by the MERGE)."""
-        return self.target.read()
+        """Current live target state.  In tombstone-retain (trashbin)
+        mode the retained op='delete' rows are hidden here — they are
+        deleted objects awaiting restore or retention expiry, not live
+        data."""
+        df = self.target.read()
+        if self.tombstone_mode == "retain" and "op" in df.columns:
+            df = df.where(F.col("op") != "delete")
+        return df
+
+    def trashbin(self) -> DataFrame:
+        """Deleted-but-retained rows (the reference trashbin view,
+        clients/__init__.py:757-813).  Empty unless
+        ``tombstone_mode='retain'``."""
+        df = self.target.read()
+        if self.tombstone_mode != "retain" or "op" not in df.columns:
+            return df.where(F.lit(False))
+        return df.where(F.col("op") == "delete")
 
     # -- sibling windowed-snapshot queries over the change stream -------
 

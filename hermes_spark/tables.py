@@ -85,14 +85,51 @@ class ParquetMergeTable:
         # delete-rows older than (max event ts - interval) are purged
         self.tombstone_retention = tombstone_retention
         os.makedirs(os.path.join(path, "versions"), exist_ok=True)
-        # consumer side of schema evolution: replay any dataschema
-        # events already in the log so a reader constructed with the
-        # original schema sees the evolved one (the reference client's
-        # __updateSchema on receiving a dataschema event,
-        # /root/reference/clients/__init__.py:876-887)
+        # first-ever open: record the declared key + schema so later
+        # opens can reconcile a CHANGED declaration against the disk
+        # truth (the declarative-config layer's live pkey migration and
+        # schema-evolution audit both key off this record; the
+        # reference's server diffs its schema registry the same way,
+        # /root/reference/server/hermesserver.py:340-443)
+        if not os.path.exists(self._commits_path):
+            self._append_record(
+                {
+                    "kind": "create",
+                    "info": {
+                        "key": self.key,
+                        "schema": [
+                            [f.name, f.dataType.simpleString()]
+                            for f in self.schema.fields
+                        ],
+                    },
+                }
+            )
+        # consumer side of schema evolution: replay the log's schema
+        # history so a reader constructed with the original schema sees
+        # the evolved one (the reference client's __updateSchema on
+        # receiving a dataschema event,
+        # /root/reference/clients/__init__.py:876-887).  The fold is
+        # IN LOG ORDER: dataschema adds columns, purge/migrate records
+        # drop exactly the columns they removed at their point in time
+        # — so an add that a later migration dropped does not resurrect
+        # on reopen, while constructor-declared columns the log never
+        # removed always survive.
         for r in self._read_log():
-            if r.get("kind") == "dataschema":
-                self._apply_dataschema(r.get("info") or {})
+            kind = r.get("kind")
+            info = r.get("info") or {}
+            if kind == "dataschema":
+                self._apply_dataschema(info)
+            elif kind in ("purge", "migrate"):
+                dropped = set(
+                    info.get("columns") or info.get("removed") or []
+                )
+                if dropped:
+                    self.schema = T.StructType(
+                        [
+                            f for f in self.schema.fields
+                            if f.name not in dropped
+                        ]
+                    )
 
     # -- commit log ---------------------------------------------------
     #
@@ -527,6 +564,55 @@ class ParquetMergeTable:
         """Published schema events, in log order (the consumer view)."""
         return [r for r in self._read_log() if r.get("kind") == "dataschema"]
 
+    def logged_key(self) -> list[str] | None:
+        """The key the DISK currently holds, folded from the log
+        (create record, updated by each migrate) — ``None`` for tables
+        created before key logging existed.  The declarative layer
+        compares this against a newly-declared key to decide whether a
+        live pkey migration is needed."""
+        key = None
+        for r in self._read_log():
+            kind = r.get("kind")
+            if kind == "create":
+                key = (r.get("info") or {}).get("key") or key
+            elif kind == "migrate":
+                key = (r.get("info") or {}).get("new_key") or key
+        return key
+
+    def logged_schema(self) -> T.StructType | None:
+        """The column set the DISK currently holds, folded from the
+        log: create schema + dataschema adds − purge drops, replaced
+        wholesale by each migrate's recorded schema.  ``None`` when
+        the table predates create-record logging.  This is what lets a
+        reopen with a DIFFERENT declared schema publish an auditable
+        dataschema diff instead of silently swapping the view."""
+        fields: list[tuple[str, str]] | None = None
+        for r in self._read_log():
+            kind = r.get("kind")
+            info = r.get("info") or {}
+            if kind == "create" and info.get("schema"):
+                fields = [tuple(x) for x in info["schema"]]
+            elif kind == "migrate" and info.get("schema"):
+                fields = [tuple(x) for x in info["schema"]]
+            elif kind == "dataschema" and fields is not None:
+                names = {n for n, _ in fields}
+                fields += [
+                    (s["name"], s["type"])
+                    for s in info.get("added", [])
+                    if s["name"] not in names
+                ]
+            elif kind == "purge" and fields is not None:
+                dropped = set(info.get("columns", []))
+                fields = [f for f in fields if f[0] not in dropped]
+        if fields is None:
+            return None
+        return T.StructType(
+            [
+                T.StructField(n, T._parse_datatype_string(t), True)
+                for n, t in fields
+            ]
+        )
+
     def annotate_commit(self, version: int, info: dict) -> None:
         """Attach metrics/lineage info to a specific commit (one
         appended annotate record — no Spark job, no log rewrite)."""
@@ -773,6 +859,10 @@ class ParquetMergeTable:
         current = self.read(op_col=None)  # keep tombstones: state memory migrates too
         migrated = transform(current)
         old_key = list(self.key)
+        new_names = {f.name for f in new_schema.fields}
+        removed = sorted(
+            f.name for f in self.schema.fields if f.name not in new_names
+        )
         self.key = list(new_key)
         self.schema = new_schema
         v = (self.current_version() or 0) + 1
@@ -782,7 +872,18 @@ class ParquetMergeTable:
         self._append_commit(v, None, kind="base")
         self._append_record(
             {"kind": "migrate", "version": v,
-             "info": {"old_key": old_key, "new_key": list(new_key)}}
+             "info": {"old_key": old_key, "new_key": list(new_key),
+                      # full post-migration column set: logged_schema()
+                      # folds take this wholesale (the migration may
+                      # add AND remove key columns in one step);
+                      # "removed" lets the reopen replay drop exactly
+                      # these columns without touching reader-declared
+                      # columns the log has never seen
+                      "removed": removed,
+                      "schema": [
+                          [f.name, f.dataType.simpleString()]
+                          for f in new_schema.fields
+                      ]}}
         )
 
     def purge_columns(self, cols: Sequence[str]) -> None:

@@ -171,9 +171,17 @@ def test_pkey_migration_int_to_composite(spark):
 
     # the migration is auditable in the commit log
     audit = [r for r in t._read_log() if r.get("kind") == "migrate"]
-    assert audit and audit[0]["info"] == {
-        "old_key": ["id"], "new_key": ["id_a", "id_b"],
-    }
+    assert audit and audit[0]["info"]["old_key"] == ["id"]
+    assert audit[0]["info"]["new_key"] == ["id_a", "id_b"]
+    # the record carries the post-migration column set (logged_schema
+    # folds it wholesale) and the table's folded disk-truth agrees
+    assert [n for n, _ in audit[0]["info"]["schema"]] == [
+        "id_a", "id_b", "op", "val"
+    ]
+    assert t.logged_key() == ["id_a", "id_b"]
+    assert [f.name for f in t.logged_schema().fields] == [
+        "id_a", "id_b", "op", "val"
+    ]
     t.drop()
 
 
