@@ -315,6 +315,9 @@ class JoinCdcPipeline:
             self.dlq is not None
             and self.retry_every
             and (batch_id + 1) % self.retry_every == 0
+            # same healthy-stream fast path as CdcPipeline: no drain
+            # jobs while the queue is provably empty
+            and not self.dlq.known_empty()
         ):
             self.retry_queue(tag=f"b{batch_id}")
         if self.maintain_every and (batch_id + 1) % self.maintain_every == 0:

@@ -96,6 +96,27 @@ class DeadLetterQueue:
             schema=T.StructType(fields), compact_every=None,
         )
         self.spark = spark
+        # driver-side emptiness hint (None = unknown).  The healthy
+        # steady state of a stream is an EMPTY queue, and per-key FIFO
+        # gating against an empty queue is a provable no-op — the sink
+        # uses this hint to skip the whole gating plan (reference: the
+        # client only consults its error queue when it has entries,
+        # clients/__init__.py:1020).  Never wrongly True: rows enter
+        # only through enqueue(), which latches it False; True comes
+        # only from a never-written table, a measured empty read, or a
+        # drain that returned zero rows.
+        self._empty_hint: bool | None = None
+
+    def known_empty(self) -> bool:
+        """True iff the queue is provably empty right now.  Zero Spark
+        jobs for a never-written queue; one cached isEmpty() probe the
+        first time an existing queue is opened."""
+        if self._empty_hint is None:
+            if not self.table._read_commits():
+                self._empty_hint = True
+            else:
+                self._empty_hint = self.read().isEmpty()
+        return self._empty_hint
 
     @property
     def _fields(self) -> list[str]:
@@ -212,6 +233,7 @@ class DeadLetterQueue:
                 failed.withColumn("_qop", F.lit("put")),
                 batch_id=batch_id, op_col="_qop",
             )
+            self._empty_hint = False
             return
 
         merged = affected.unionByName(failed)
@@ -306,6 +328,7 @@ class DeadLetterQueue:
             self._deletes_for(dead)
         )
         self.table.merge(changes, batch_id=batch_id, op_col="_qop")
+        self._empty_hint = False
 
     def retry_candidates(self) -> DataFrame:
         return unblocked_retry_candidates(
@@ -322,6 +345,7 @@ class DeadLetterQueue:
         self.table.merge(
             self._deletes_for(gone), batch_id=batch_id, op_col="_qop"
         )
+        self._empty_hint = None  # only removed rows — may now be empty
 
     def drain(
         self,
@@ -339,4 +363,6 @@ class DeadLetterQueue:
             if ok.count() == 0:
                 break
             self.resolve(ok)
-        return self.read().count()
+        left = self.read().count()
+        self._empty_hint = left == 0
+        return left

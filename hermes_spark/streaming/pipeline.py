@@ -199,6 +199,10 @@ class CdcPipeline:
             self.dlq is not None
             and self.retry_every
             and (batch_id + 1) % self.retry_every == 0
+            # a drain over a provably-empty queue is two wasted jobs
+            # per cycle — the healthy-stream fast path skips it (the
+            # hint can never be wrongly True, so no retry is missed)
+            and not self.dlq.known_empty()
         ):
             self.retry_queue(tag=f"b{batch_id}")
         if self.maintain_every and (batch_id + 1) % self.maintain_every == 0:

@@ -199,9 +199,25 @@ class ExactlyOnceSink:
         # the split there could silently drop rows (gated→process with
         # the target merge already skipped) or duplicate them into the
         # queue (process→gated with the rows already applied).
+        #
+        # FAST PATH — the healthy steady state: when the queue is
+        # provably EMPTY, gating is a no-op (no key can be queued, no
+        # FK-parent can be errored) and the split collapses to the
+        # validator alone, which is DETERMINISTIC in the batch.  Then:
+        # no gating joins, no persist, no sidecar write — the failure
+        # count rides the delta-write job as a second Observation, and
+        # a crash-replay recomputes the identical split (the commit
+        # line carries a ``split: inline`` marker so the replay can
+        # tell this from an expired sidecar).  One Spark job per
+        # healthy micro-batch, same as a plain sink.
         if not t_done:
             if self.transform is not None:
                 changes = self.transform(changes)
+            if self.dlq.known_empty() and getattr(
+                self.target, "commit_info_of_batch", None
+            ) is not None:
+                self._apply_inline_split(changes, batch_id, t0, q_done)
+                return
             # persist the classified batch: the split produces THREE
             # actions over it (sidecar write, delta write, enqueue/
             # empty-check), and without the cache each re-executes the
@@ -234,17 +250,90 @@ class ExactlyOnceSink:
             # replay after a crash between target-commit and
             # queue-commit: re-enqueue the ORIGINAL persisted split
             persisted = self.target.read_sidecar_of_batch(batch_id)
-            if persisted is None:
+            if persisted is not None:
+                if persisted.isEmpty():
+                    self.dlq.table.mark_batch(f"sink-{batch_id}")
+                else:
+                    self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
+                return
+            info = (
+                self.target.commit_info_of_batch(batch_id)
+                if getattr(self.target, "commit_info_of_batch", None)
+                is not None else None
+            )
+            if (info or {}).get("split") == "inline":
+                # the original commit took the fast path: the split was
+                # validator-only (queue empty, gating skipped) and is
+                # deterministic in the replayed batch — recompute it
+                if self.transform is not None:
+                    changes = self.transform(changes)
+                bad = self._validator_failures(changes)
+                if bad.isEmpty():
+                    self.dlq.table.mark_batch(f"sink-{batch_id}")
+                else:
+                    self.dlq.enqueue(bad, batch_id=f"sink-{batch_id}")
+            else:
                 # the split expired (vacuum retention / purge_columns
                 # ran during the downtime): there is nothing left to
                 # re-enqueue — latch the queue ledger closed, or this
                 # branch re-runs on every future replay and the
                 # two-ledger protocol never converges for this batch
                 self.dlq.table.mark_batch(f"sink-{batch_id}")
-            elif persisted.isEmpty():
-                self.dlq.table.mark_batch(f"sink-{batch_id}")
-            else:
-                self.dlq.enqueue(persisted, batch_id=f"sink-{batch_id}")
+
+    def _validator_ok(self, changes: DataFrame):
+        """The exhaustive per-row verdict Column: NULL = "no opinion"
+        = the event applies (see the NULL-tombstone note in
+        ``_split_failures``)."""
+        ok = (
+            self.validator(changes) if self.validator is not None
+            else F.lit(True)
+        )
+        return F.coalesce(ok, F.lit(True))
+
+    def _validator_failures(self, changes: DataFrame) -> DataFrame:
+        """The validator-only enqueue frame (no gating) — the fast
+        path's split, recomputable deterministically on replay."""
+        return (
+            changes.where(~self._validator_ok(changes))
+            .withColumn("offset", F.unix_micros(F.col("ts")))
+            .withColumn("err", F.lit("validation failed"))
+        )
+
+    def _apply_inline_split(
+        self, changes: DataFrame, batch_id: int, t0: float, q_done: bool
+    ) -> None:
+        """The empty-queue fast path: ONE Spark job for a healthy
+        micro-batch.  The validator verdict splits the plan before the
+        delta write; the failure count rides the same job as a second
+        aggregate on the pre-filter frame; the commit line carries
+        ``split: inline`` so a crash-replay knows the split is
+        recomputable (deterministic — no queue state involved)."""
+        ev = changes.withColumn("_ok", self._validator_ok(changes))
+        obs = Observation(f"split_{batch_id}")
+        ev = ev.observe(
+            obs, F.sum((~F.col("_ok")).cast("long")).alias("bad")
+        )
+        process = ev.where(F.col("_ok")).drop("_ok")
+        self._apply(
+            process, batch_id, t0, commit_info={"split": "inline"}
+        )
+        if q_done:
+            return
+        try:
+            n_bad = dict(obs.get).get("bad", 0) or 0
+        except Exception:
+            # zero-task delta write (all-stale batch on a partitioned
+            # target) — the observation never materialized; decide
+            # with an explicit probe instead
+            n_bad = None
+        if n_bad == 0:
+            self.dlq.table.mark_batch(f"sink-{batch_id}")
+            return
+        bad = self._validator_failures(changes)
+        if n_bad is None and bad.isEmpty():
+            self.dlq.table.mark_batch(f"sink-{batch_id}")
+        else:
+            self.dlq.enqueue(bad, batch_id=f"sink-{batch_id}")
 
     def _split_failures(self, changes: DataFrame):
         """Reference client loop (clients/__init__.py:913-1020): rows
@@ -253,10 +342,6 @@ class ExactlyOnceSink:
         key is already queued (per-key FIFO) or FK-parents a queued
         object (foreignkeys_policy).  Offsets = event-time micros (the
         last-writer order the classifier already enforces)."""
-        ok = (
-            self.validator(changes) if self.validator is not None
-            else F.lit(True)
-        )
         # the split must be EXHAUSTIVE: a NULL verdict (any content
         # validator over a NULL column — which is every delete
         # tombstone, text IS NULL) is neither true nor ~true, so the
@@ -264,10 +349,10 @@ class ExactlyOnceSink:
         # neither applied nor enqueued (measured: a text validator
         # dropped every delete in the stream).  NULL = "no opinion" =
         # the event applies; a validator wanting strictness returns an
-        # explicit false.
+        # explicit false.  (_validator_ok coalesces the verdict.)
         ev = changes.withColumn(
             "offset", F.unix_micros(F.col("ts"))
-        ).withColumn("_ok", F.coalesce(ok, F.lit(True)))
+        ).withColumn("_ok", self._validator_ok(changes))
         bad = ev.where(~F.col("_ok")).withColumn(
             "err", F.lit("validation failed")
         )
@@ -283,6 +368,7 @@ class ExactlyOnceSink:
         batch_id: int,
         t0: float,
         sidecar: DataFrame | None = None,
+        commit_info: dict | None = None,
     ) -> None:
         if self.evolve_on_new_columns:
             known = {f.name for f in self.target.schema.fields}
@@ -328,7 +414,8 @@ class ExactlyOnceSink:
                 )
         observed = changes.observe(obs, *aggs)
         committed = self.target.merge(
-            changes=observed, batch_id=batch_id, sidecar=sidecar
+            changes=observed, batch_id=batch_id, sidecar=sidecar,
+            commit_info=commit_info,
         )
         if committed is not None:
             try:

@@ -343,6 +343,18 @@ class ParquetMergeTable:
     def version_of_batch(self, batch_id: int | str) -> int | None:
         return self._fold()["version_by_batch"].get(batch_id)
 
+    def commit_info_of_batch(self, batch_id: int | str) -> dict | None:
+        """The ``commit_info`` recorded ATOMICALLY with a batch's
+        commit line (same ledger append as the data), or None if the
+        batch never committed.  The sink's inline-split marker rides
+        here: unlike ``annotate_commit`` (a separate later append), a
+        crash cannot separate this from the commit itself."""
+        v = self.version_of_batch(batch_id)
+        if v is None:
+            return None
+        c = self._fold()["by_version"].get(v)
+        return dict((c or {}).get("info") or {})
+
     def read_sidecar(self, version: int) -> DataFrame | None:
         """The sidecar persisted with a commit, or None if the commit
         carried none.  Schema comes from the ledger (explicit — an

@@ -277,11 +277,7 @@ def test_compact_deltas_leveling_folds_suffix_then_consolidates(spark, tmp_work)
         assert os.path.isdir(t._version_dir(v))
 
 
-def test_sink_replay_with_expired_sidecar_closes_queue_ledger(spark, tmp_work):
-    """Crash between target-commit and queue-commit, then the sidecar
-    expires (vacuum) during the downtime: the replay must latch the
-    queue ledger closed instead of silently re-entering the replay
-    branch forever."""
+def _expired_sidecar_fixture(spark, tmp_work, name):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -298,42 +294,96 @@ def test_sink_replay_with_expired_sidecar_closes_queue_ledger(spark, tmp_work):
         ]
     )
     t = ParquetMergeTable(
-        spark, f"{tmp_work}/t", key=["conv_id", "turn_idx"], schema=schema,
-        compact_every=None,
+        spark, f"{tmp_work}/{name}-t", key=["conv_id", "turn_idx"],
+        schema=schema, compact_every=None,
     )
     payload = T.StructType([f for f in schema.fields if f.name != "op"])
     dlq = DeadLetterQueue(
-        spark, f"{tmp_work}/dlq", key=["conv_id", "turn_idx"],
+        spark, f"{tmp_work}/{name}-dlq", key=["conv_id", "turn_idx"],
         payload_schema=payload,
     )
     sink = ExactlyOnceSink(
         t, dlq=dlq, validator=lambda df: ~F.col("text").contains("POISON")
     )
-    ddl = "conv_id string, turn_idx int, op string, ts timestamp, text string"
+    ddl = "conv_id string, turn_idx int, op string, ts string, text string"
     batch = spark.createDataFrame(
-        [("a", 0, "insert", None, "ok"), ("b", 0, "insert", None, "POISON")], ddl
-    )
-    # crash between the two commits: target committed (with sidecar),
-    # queue not — emulate by sinking with a broken enqueue
+        [
+            ("a", 0, "insert", "2026-01-01 10:00:00", "ok"),
+            ("b", 0, "insert", "2026-01-01 10:00:01", "POISON"),
+        ],
+        ddl,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return t, dlq, sink, batch, ddl
+
+
+def _crash_between_ledgers(t, dlq, sink, batch):
+    import pytest as _p
+
     real_enqueue = dlq.enqueue
     dlq.enqueue = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
     try:
-        import pytest as _p
-
         with _p.raises(RuntimeError, match="crash"):
             sink(batch, batch_id=7)
     finally:
         dlq.enqueue = real_enqueue
     assert 7 in t.committed_batch_ids()
     assert "sink-7" not in dlq.table.committed_batch_ids()
+
+
+def test_sink_inline_split_replay_recovers_failures(spark, tmp_work):
+    """Crash between target-commit and queue-commit on the EMPTY-queue
+    fast path (no sidecar written): the commit line's ``split:
+    inline`` marker tells the replay the split was validator-only and
+    deterministic, so it recomputes it and RECOVERS the failed row —
+    even after downtime maintenance (which, on the sidecar path, would
+    have expired the split)."""
+    t, dlq, sink, batch, _ = _expired_sidecar_fixture(
+        spark, tmp_work, "inline"
+    )
+    _crash_between_ledgers(t, dlq, sink, batch)
+    # the fast path recorded its marker atomically with the commit
+    assert t.commit_info_of_batch(7).get("split") == "inline"
+    # downtime maintenance — nothing to expire, split is recomputable
+    t.compact()
+    t.vacuum(keep_sidecars=0)
+    sink(batch, batch_id=7)
+    assert "sink-7" in dlq.table.committed_batch_ids()
+    rows = dlq.read().collect()
+    assert [(r.conv_id, r.err) for r in rows] == [("b", "validation failed")]
+
+
+def test_sink_replay_with_expired_sidecar_closes_queue_ledger(spark, tmp_work):
+    """Crash between target-commit and queue-commit on the SIDECAR
+    path (queue non-empty at commit time, so the split depended on
+    queue state and is NOT recomputable), then the sidecar expires
+    (vacuum) during the downtime: the replay must latch the queue
+    ledger closed instead of silently re-entering the replay branch
+    forever — and must NOT re-enqueue a recomputed (possibly wrong)
+    split."""
+    from pyspark.sql import functions as F
+
+    t, dlq, sink, batch, ddl = _expired_sidecar_fixture(
+        spark, tmp_work, "sidecar"
+    )
+    # a pre-existing queued row (unrelated key) forces the sidecar
+    # path: the split must consider per-key FIFO gating
+    prior = spark.createDataFrame(
+        [("z", 0, "insert", None, "old failure")], ddl
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "offset", F.lit(1).cast("long")
+    ).withColumn("err", F.lit("boom"))
+    dlq.enqueue(prior)
+    assert not dlq.known_empty()
+    _crash_between_ledgers(t, dlq, sink, batch)
+    assert (t.commit_info_of_batch(7) or {}).get("split") != "inline"
     # downtime maintenance expires the sidecar
     t.compact()
     t.vacuum(keep_sidecars=0)
     # replay: must close the queue ledger, not spin
     sink(batch, batch_id=7)
     assert "sink-7" in dlq.table.committed_batch_ids()
-    # and the queue did not get a recomputed (possibly wrong) split
-    assert dlq.read().count() == 0
+    # and the queue did not get a recomputed split — only the prior row
+    assert [r.conv_id for r in dlq.read().collect()] == ["z"]
 
 
 def test_validator_null_verdict_does_not_lose_deletes(spark, tmp_work):
