@@ -893,6 +893,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode oracle (round 6): the payloads are genuine
+    WAV / BMP / PPM bytes built by the format writers, decoded in the
+    Python worker by the stdlib decoders (``wave`` / hand-parsed
+    headers incl. BMP row-stride padding) — and every decoded property
+    (rates, dimensions, and the exact int64 sum of decoded samples /
+    pixel bytes) is recomputed by DuckDB from the generation formulas
+    alone.  A decoder that echoed its builder's parameters instead of
+    parsing bytes would still pass the header fields but not
+    ``sum_values``, which requires walking the actual content area
+    (and, for BMP, skipping the 4-byte row padding)."""
+    from hermes_spark.functions.multimodal import (
+        decode_media,
+        synthetic_decodable_media,
+    )
+
+    return decode_media(synthetic_decodable_media(spark, n=48)).select(
+        "media_id", "format", "decoded", "sample_rate", "n_channels",
+        "n_frames", "duration_ms", "width", "height", "n_values", "sum_values",
+    )
+
+
 def q_merkle_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase merkle — must equal q_merkle_events
     bit-for-bit (same oracle): the salting guard for hot keys."""
@@ -1138,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "rolling_fingerprint": q_rolling_fingerprint,
         "ldap_hash": q_ldap_hash,
         "embed_cosine": q_embed_cosine,
@@ -1618,6 +1641,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(64 + (i % 5) * 32 AS INT) AS n_bytes
             FROM range(0, 64) t(i)
+        """,
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT i, CAST(i % 3 AS INT) AS f, CAST(i // 3 AS BIGINT) AS v
+              FROM range(0, 48) t(i)
+            )
+            SELECT
+              i AS media_id,
+              CASE f WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS format,
+              TRUE AS decoded,
+              CASE WHEN f = 0 THEN CAST(8000 + v * 500 AS INT) END AS sample_rate,
+              CASE WHEN f = 0 THEN CAST(1 + v % 2 AS INT) END AS n_channels,
+              CASE WHEN f = 0 THEN CAST(100 + v * 10 AS INT) END AS n_frames,
+              CASE WHEN f = 0
+                   THEN CAST((100 + v * 10) * 1000 // (8000 + v * 500) AS INT)
+              END AS duration_ms,
+              CASE f WHEN 1 THEN CAST(4 + v AS INT)
+                     WHEN 2 THEN CAST(5 + v AS INT) END AS width,
+              CASE f WHEN 1 THEN CAST(3 + v % 5 AS INT)
+                     WHEN 2 THEN CAST(2 + v % 4 AS INT) END AS height,
+              CAST(CASE f
+                WHEN 0 THEN (100 + v * 10) * (1 + v % 2)
+                WHEN 1 THEN (4 + v) * (3 + v % 5) * 3
+                ELSE (5 + v) * (2 + v % 4) * 3
+              END AS BIGINT) AS n_values,
+              -- DuckDB range() cannot take correlated bounds; use a
+              -- fixed upper bound (max content size over all media)
+              -- and filter on the correlated length instead
+              CAST(CASE f
+                WHEN 0 THEN (SELECT SUM(((v * 7919 + j * 31) % 65536) - 32768)
+                             FROM range(0, 500) s(j)
+                             WHERE j < (100 + v * 10) * (1 + v % 2))
+                WHEN 1 THEN (SELECT SUM((v * 13 + k * 7) % 256)
+                             FROM range(0, 500) s(k)
+                             WHERE k < (4 + v) * (3 + v % 5) * 3)
+                ELSE (SELECT SUM((v * 11 + k * 3) % 256)
+                      FROM range(0, 500) s(k)
+                      WHERE k < (5 + v) * (2 + v % 4) * 3)
+              END AS BIGINT) AS sum_values
+            FROM m
         """,
         "embed_cosine": """
             WITH a AS (

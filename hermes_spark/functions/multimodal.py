@@ -2,17 +2,29 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages.  The decode libraries (PIL,
-ffmpeg, torchaudio...) are NOT in this container, so the actual decode
-is STUBBED — `deterministic_fake_features` derives a stable feature
-vector from the payload bytes so the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and testable;
-swap `_decode_stub` for a real decoder on a cluster with the libs.
+as Arrow-batched ``mapInPandas`` stages.
+
+Round 6: the decode is REAL for every format the Python stdlib can
+parse — WAV (RIFF/PCM via ``wave``), BMP (BITMAPINFOHEADER, hand
+parse incl. row-stride padding and top-down images) and binary PPM
+(P6).  ``decode_media`` returns typed per-media properties
+(sample_rate / channels / frames / duration, width / height, and the
+exact integer sum of decoded content values) so an independent engine
+can recompute them from the generation formulas — the
+``multimodal_decode`` contract query does exactly that against DuckDB.
+Formats that genuinely need native libs absent from this container
+(JPEG, H.264 video...) stay behind a loud capability flag
+(``CAPABILITIES``) with a deterministic fake feature vector, so the
+Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
+shape) is exercised end-to-end either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -20,6 +32,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: Which payload formats this build decodes for real.  Anything False
+#: falls back to the deterministic fake-feature stub — loudly, via the
+#: ``decoded`` flag on every output row.
+CAPABILITIES = {
+    "wav": True,   # stdlib `wave` (RIFF / PCM)
+    "bmp": True,   # hand parse (BITMAPINFOHEADER, 24bpp uncompressed)
+    "ppm": True,   # hand parse (binary P6)
+    "jpeg": False,  # needs PIL — not in this container
+    "video": False,  # needs ffmpeg — not in this container
+}
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -67,18 +90,294 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return (raw.astype(np.float32) / 65535.0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic format builders (tests / oracle input generation).
+# Each writes REAL format bytes so the decoders below parse genuine
+# headers + content, not echoes of their own parameters.
+# ---------------------------------------------------------------------------
+
+
+def make_wav(sample_rate: int, n_channels: int, samples: "list[int]") -> bytes:
+    """Real RIFF/PCM WAV bytes (16-bit LE) via the stdlib ``wave``
+    module.  ``samples`` is the interleaved int16 frame data."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def make_bmp(width: int, height: int, seed: int, topdown: bool = False) -> bytes:
+    """Real 24bpp uncompressed BMP (BITMAPINFOHEADER).  Pixel-area
+    bytes take the value ``(seed + k*7) % 256`` where ``k`` indexes the
+    NON-PADDING pixel bytes in file order — rows are padded to 4-byte
+    stride with zeros, so a decoder that naively sums the whole pixel
+    area (ignoring stride) gets a different answer.  ``topdown=True``
+    writes a negative height (rows stored top-to-bottom)."""
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if topdown else height, 1, 24, 0,
+        img_size, 2835, 2835, 0, 0,
+    )
+    rows = bytearray()
+    k = 0
+    pad = b"\x00" * (stride - width * 3)
+    for _ in range(height):
+        for _ in range(width * 3):
+            rows.append((seed + k * 7) % 256)
+            k += 1
+        rows += pad
+    return header + dib + bytes(rows)
+
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """Real binary PPM (P6, maxval 255).  Pixel byte k (row-major RGB)
+    takes the value ``(seed + k*3) % 256``."""
+    body = bytes((seed + k * 3) % 256 for k in range(width * height * 3))
+    return b"P6\n%d %d\n255\n" % (width, height) + body
+
+
+# ---------------------------------------------------------------------------
+# Real decoders.  Each returns the typed property dict for one payload
+# or raises ValueError on malformed bytes (decode_media catches and
+# falls back to the stub path with decoded=False).
+# ---------------------------------------------------------------------------
+
+
+def _sniff_format(payload: bytes) -> str | None:
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6" and payload[2:3] in (b"\n", b" ", b"\t", b"\r"):
+        return "ppm"
+    return None
+
+
+def _decode_wav(payload: bytes) -> dict:
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {w.getsampwidth()}")
+        raw = w.readframes(n_frames)
+    samples = np.frombuffer(raw, dtype="<i2")
+    return {
+        "format": "wav",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "n_values": int(samples.size),
+        "sum_values": int(samples.sum(dtype=np.int64)),
+        "_values": samples,
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, raw_height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if dib_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (dib={dib_size} bpp={bpp})")
+    height = abs(raw_height)
+    stride = (width * 3 + 3) & ~3
+    if data_offset + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel area")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3]
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "n_values": int(px.size),
+        "sum_values": int(px.sum(dtype=np.int64)),
+        "_values": px,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = width * height * 3
+    if i + n > len(payload):
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return {
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "n_values": int(px.size),
+        "sum_values": int(px.sum(dtype=np.int64)),
+        "_values": px,
+    }
+
+
+_DECODERS = {"wav": _decode_wav, "bmp": _decode_bmp, "ppm": _decode_ppm}
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("sum_values", T.LongType(), True),
+    ]
+)
+
+_DECODE_NULLS = {
+    "format": None, "sample_rate": None, "n_channels": None,
+    "n_frames": None, "duration_ms": None, "width": None,
+    "height": None, "n_values": None, "sum_values": None,
+}
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real media decode as an Arrow-batched ``mapInPandas`` stage.
+
+    Sniffs the payload magic and runs the matching stdlib decoder
+    (WAV / BMP / PPM); unrecognized or malformed payloads come back
+    with ``decoded=False`` and NULL properties instead of failing the
+    batch (one corrupt blob must not kill a 100 TB scan).  Properties
+    are exact integers (incl. ``sum_values`` over the decoded content)
+    so they are engine-recomputable — see the ``multimodal_decode``
+    contract query."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": mid,
+                    "kind": kind,
+                    "decoded": False,
+                    "n_bytes": len(payload) if payload is not None else 0,
+                    **_DECODE_NULLS,
+                }
+                fmt = _sniff_format(payload)
+                if fmt is not None and CAPABILITIES.get(fmt):
+                    try:
+                        props = _DECODERS[fmt](payload)
+                        props.pop("_values", None)
+                        row.update(props)
+                        row["decoded"] = True
+                    except (ValueError, wave.Error, struct.error, EOFError):
+                        row["format"] = None  # malformed → stub path
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return media.mapInPandas(run, DECODE_SCHEMA)
+
+
+def wav_params(v: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_frames) for synthetic wav #v —
+    shared between the builder and the DuckDB oracle formulas."""
+    return 8000 + v * 500, 1 + v % 2, 100 + v * 10
+
+
+def synthetic_decodable_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-format media table: wav / bmp / ppm payloads
+    round-robin by ``media_id % 3``, every parameter and content byte a
+    pure formula of the id — so an independent engine can recompute
+    the decoded properties without parsing a single byte:
+
+      wav  (id%3==0, v=id//3): rate 8000+v*500, channels 1+v%2,
+           frames 100+v*10, sample j = ((v*7919 + j*31) % 65536) - 32768
+      bmp  (id%3==1, v=id//3): width 4+v, height 3+v%5,
+           pixel byte k = (v*13 + k*7) % 256  (k skips stride padding)
+      ppm  (id%3==2, v=id//3): width 5+v, height 2+v%4,
+           pixel byte k = (v*11 + k*3) % 256
+    """
+    rows = []
+    for i in range(n):
+        v = i // 3
+        if i % 3 == 0:
+            rate, ch, frames = wav_params(v)
+            samples = [((v * 7919 + j * 31) % 65536) - 32768 for j in range(frames * ch)]
+            payload, kind, meta = make_wav(rate, ch, samples), "audio", (
+                None, None, frames * 1000 // rate, "pcm_s16le",
+            )
+        elif i % 3 == 1:
+            w, h = 4 + v, 3 + v % 5
+            payload, kind, meta = make_bmp(w, h, v * 13), "image", (w, h, None, "bmp")
+        else:
+            w, h = 5 + v, 2 + v % 4
+            payload, kind, meta = make_ppm(w, h, v * 11), "image", (w, h, None, "ppm")
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction — the real plumbing.
 
     Arrow batches stream through the Python worker; each batch is
-    processed as a whole (vectorized over the batch, stub per payload).
+    processed as a whole.  Payloads in a stdlib-decodable format
+    (WAV / BMP / PPM — see ``CAPABILITIES``) get REAL features: a
+    16-bin normalized histogram of the decoded content values (audio
+    samples / pixel bytes), i.e. the features change when the content
+    changes, not just the bytes.  Anything else (JPEG, video, opaque
+    blobs) falls back to the deterministic fake-feature stub.
     Repartition upstream by media_id so payload bytes distribute evenly
     (one huge video per partition is the skew case)."""
+
+    def one(payload, kind: str) -> list:
+        fmt = _sniff_format(payload)
+        if fmt is not None and CAPABILITIES.get(fmt):
+            try:
+                props = _DECODERS[fmt](payload)
+            except (ValueError, wave.Error, struct.error, EOFError):
+                return _decode_stub(payload, kind).tolist()
+            vals = props["_values"].astype(np.float64).ravel()
+            if fmt == "wav":
+                vals, span = vals + 32768.0, 65536.0
+            else:
+                span = 256.0
+            hist, _ = np.histogram(vals, bins=FEATURE_DIM, range=(0.0, span))
+            total = max(1, int(hist.sum()))
+            return (hist.astype(np.float32) / np.float32(total)).tolist()
+        return _decode_stub(payload, kind).tolist()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, k).tolist()
+                one(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

@@ -115,6 +115,82 @@ def test_multimodal_features_and_frame_plan(spark):
     assert all(r["count"] >= 1 for r in p)
 
 
+def test_multimodal_real_decode(spark):
+    """Round 6: WAV/BMP/PPM payloads are REAL format bytes and the
+    decode is a real parse — properties and exact content sums match
+    an independent numpy recomputation; BMP row-stride padding and
+    top-down images decode correctly; malformed payloads degrade to
+    decoded=False instead of failing the batch."""
+    import numpy as np
+
+    from hermes_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+        make_bmp,
+        make_wav,
+        synthetic_decodable_media,
+        wav_params,
+    )
+
+    media = synthetic_decodable_media(spark, n=24)
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    assert len(rows) == 24 and all(r.decoded for r in rows.values())
+    for i, r in rows.items():
+        v = i // 3
+        if i % 3 == 0:
+            rate, ch, frames = wav_params(v)
+            assert (r.format, r.sample_rate, r.n_channels, r.n_frames) == (
+                "wav", rate, ch, frames,
+            )
+            assert r.duration_ms == frames * 1000 // rate
+            assert r.sum_values == sum(
+                ((v * 7919 + j * 31) % 65536) - 32768 for j in range(frames * ch)
+            )
+        elif i % 3 == 1:
+            assert (r.format, r.width, r.height) == ("bmp", 4 + v, 3 + v % 5)
+            assert r.sum_values == sum(
+                (v * 13 + k * 7) % 256 for k in range((4 + v) * (3 + v % 5) * 3)
+            )
+        else:
+            assert (r.format, r.width, r.height) == ("ppm", 5 + v, 2 + v % 4)
+
+    # top-down BMP (negative height) and corrupt payloads in one frame
+    corrupt = spark.createDataFrame(
+        [
+            (0, "image", make_bmp(5, 4, seed=9, topdown=True), None),
+            (1, "image", b"BM" + b"\x00" * 80, None),  # malformed header
+            (2, "audio", make_wav(8000, 1, [7] * 10)[:30], None),  # truncated
+            (3, "video", b"\x00\x01\x02" * 30, None),  # opaque blob
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_media(corrupt).collect()}
+    assert got[0].decoded and got[0].width == 5 and got[0].height == 4
+    assert got[0].sum_values == sum((9 + k * 7) % 256 for k in range(5 * 4 * 3))
+    assert not got[1].decoded and not got[2].decoded and not got[3].decoded
+    assert got[3].n_bytes == 90
+
+    # features for decodable media come from decoded CONTENT: the
+    # histogram of a constant-sample wav concentrates in one bin, and
+    # two different contents with identical byte length differ
+    feats = {
+        r.media_id: r.features
+        for r in extract_features(
+            spark.createDataFrame(
+                [
+                    (0, "audio", make_wav(8000, 1, [0] * 100), None),
+                    (1, "audio", make_wav(8000, 1, [-32768] * 100), None),
+                ],
+                MEDIA_SCHEMA,
+            )
+        ).collect()
+    }
+    assert feats[0] != feats[1]
+    assert max(feats[1]) == feats[1][0] == 1.0  # all samples in bin 0
+    assert abs(sum(feats[0]) - 1.0) < 1e-6
+
+
 def test_cosine_neardup_pairs(spark, sf_dir):
     """Embedding near-dup: deterministic twins recovered with high
     recall; verified pairs all exceed the threshold (no FPs by
