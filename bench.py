@@ -95,12 +95,21 @@ def bench_near_dup(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+#: cells whose best-of-N still exceeds this many seconds get ONE extra
+#: rep (round-5 verdict item 7: the longest cells are the most
+#: noise-exposed — min-of-2 was not enough for them when the driver's
+#: run is contended, while short cells converge in 2)
+SLOW_CELL_SEC = float(os.environ.get("BENCH_SLOW_CELL_SEC", "5"))
+
+
 def bench_queries(spark, sf_dir: str, reps: int | None = None) -> dict[str, float]:
     """Min-of-N per cell (BENCH_QUERY_REPS, default 2): this VM shows
     sustained ~2× hypervisor-steal windows, and round 4 produced three
     +13-26% readings on queries whose plans had not changed — a single
     rep is a coin flip on the round-over-round comparison.  The CDC
-    streaming cells adopted the same protocol in round 4."""
+    streaming cells adopted the same protocol in round 4; cells still
+    reading >SLOW_CELL_SEC after min-of-N take a third rep (min-of-3)
+    since round 6."""
     import __spark_entry__ as entrymod
 
     if reps is None:
@@ -113,13 +122,22 @@ def bench_queries(spark, sf_dir: str, reps: int | None = None) -> dict[str, floa
         if name in ("ngram_jaccard", "minhash_lsh"):
             continue  # measured with shared ground truth below
         best = float("inf")
-        for _ in range(reps):
+        n = reps
+        r = 0
+        while r < n:
             t0 = time.monotonic()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.monotonic() - t0)
+            r += 1
+            if r == n and n == reps and reps > 1 and best > SLOW_CELL_SEC:
+                n += 1  # slow cell → one extra rep
         out[name] = round(best, 3)
     runs = [bench_near_dup(spark, sf_dir) for _ in range(reps)]
-    out.update({k: min(r[k] for r in runs) for k in runs[0]})
+    agg = {k: min(r[k] for r in runs) for k in runs[0]}
+    if reps > 1 and any(v > SLOW_CELL_SEC for v in agg.values()):
+        extra = bench_near_dup(spark, sf_dir)
+        agg = {k: min(agg[k], extra[k]) for k in agg}
+    out.update(agg)
     return out
 
 
