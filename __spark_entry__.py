@@ -1110,6 +1110,74 @@ def q_ldap_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as pure Column exprs (curation.py): ordered
+    regexp_replace chain + per-category counts on the progressively
+    scrubbed text, so an email's digit run can never double-count as a
+    phone.  The pattern set is restricted to the Java-regex ∩ RE2
+    subset, so DuckDB replays the exact chain.  PII is synthesized
+    deterministically per doc (the corpus itself is clean)."""
+    from hermes_spark.functions.curation import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@ex-corp.io")),
+            F.lit("555-123-4567"),
+            F.lit("4111 1111 1111 1111"),
+            F.concat(F.lit("10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            F.lit("123-45-6789"),
+        ).alias("text"),
+    )
+    return pii_scrub(d)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed sampling (curation.py): keep a
+    row iff an 8-hex-char sha256 prefix of (salt|key) sorts below the
+    fraction threshold.  Reproducible across engines / runs /
+    repartitions / appends — the property df.sample() lacks — and the
+    oracle IS that property: DuckDB independently recomputes the hash
+    and selects the same rows."""
+    from hermes_spark.functions.curation import hash_sample, sample_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, ["doc_id"], 0.35, salt="r6").select(
+        "doc_id", sample_hash(["doc_id"], salt="r6").alias("h")
+    )
+
+
+def q_mix_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic dataset mixing (curation.py): two
+    disjoint sub-corpora sampled at different rates (salted per source
+    name) into one tagged union."""
+    from hermes_spark.functions.curation import mix_datasets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    even = d.where(F.col("doc_id") % 2 == 0)
+    odd = d.where(F.col("doc_id") % 2 == 1)
+    return mix_datasets(
+        {"even": (even, 0.5), "odd": (odd, 0.25)},
+        key=["doc_id"], salt="mx", source_col="mix_source",
+    ).select("doc_id", "mix_source")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (curation.py): 16-token windows, 4-token
+    overlap, via sequence+slice+explode — a narrow plan, no shuffle.
+    Text is whitespace-normalized first so the oracle's single-space
+    split is exact (same lesson as the simhash prefilter oracle)."""
+    from hermes_spark.functions.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("text"),
+    )
+    return chunk_documents(d, ["doc_id"], size=16, overlap=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1161,6 +1229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "pii_scrub": q_pii_scrub,
+        "hash_sample": q_hash_sample,
+        "mix_datasets": q_mix_datasets,
+        "chunk_documents": q_chunk_documents,
         "rolling_fingerprint": q_rolling_fingerprint,
         "ldap_hash": q_ldap_hash,
         "embed_cosine": q_embed_cosine,
@@ -1205,6 +1277,65 @@ _NGRAM_PAIRS_CTE = f"""
               WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
             )
 """
+
+
+def _pii_oracle_sql() -> str:
+    """The DuckDB mirror of q_pii_scrub, GENERATED from the operator's
+    own PII_PATTERNS so the chain order and patterns cannot drift."""
+    from hermes_spark.functions.curation import PII_PATTERNS
+
+    ctes = [
+        """b0 AS (
+          SELECT doc_id, concat_ws(' ', text,
+            'u' || CAST(doc_id AS VARCHAR) || '@ex-corp.io',
+            '555-123-4567', '4111 1111 1111 1111',
+            '10.0.0.' || CAST(doc_id % 256 AS VARCHAR),
+            '123-45-6789') AS t
+          FROM documents)"""
+    ]
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        esc = pat.replace("'", "''")
+        prior = ", ".join(f"n_{n}" for n, _ in PII_PATTERNS[:i])
+        prior = (prior + ", ") if prior else ""
+        ctes.append(
+            f"b{i + 1} AS (SELECT doc_id, {prior}"
+            f"CAST(len(regexp_extract_all(t, '{esc}')) AS INT) AS n_{name}, "
+            f"regexp_replace(t, '{esc}', '<{name.upper()}>', 'g') AS t "
+            f"FROM b{i})"
+        )
+    names = ", ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS text, {names} FROM b{len(PII_PATTERNS)}"
+    )
+
+
+def _curation_sampling_oracles() -> dict[str, str]:
+    """hash_sample / mix_datasets mirrors — thresholds come from the
+    operator's own sample_threshold so the quantization matches."""
+    from hermes_spark.functions.curation import sample_threshold
+
+    t35, t50, t25 = (
+        sample_threshold(0.35), sample_threshold(0.5), sample_threshold(0.25),
+    )
+    h = "substring(sha256({salt} || CAST(doc_id AS VARCHAR)), 1, 8)"
+    h35 = h.format(salt="'r6|'")
+    heven = h.format(salt="'mx|even|'")
+    hodd = h.format(salt="'mx|odd|'")
+    return {
+        "hash_sample": f"""
+            SELECT doc_id, {h35} AS h
+            FROM documents
+            WHERE {h35} < '{t35}'
+        """,
+        "mix_datasets": f"""
+            SELECT doc_id, 'even' AS mix_source FROM documents
+            WHERE doc_id % 2 = 0 AND {heven} < '{t50}'
+            UNION ALL
+            SELECT doc_id, 'odd' AS mix_source FROM documents
+            WHERE doc_id % 2 = 1 AND {hodd} < '{t25}'
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1681,6 +1812,28 @@ def oracle_sql() -> dict[str, str]:
                       WHERE k < (5 + v) * (2 + v % 4) * 3)
               END AS BIGINT) AS sum_values
             FROM m
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        **_curation_sampling_oracles(),
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, string_split(t, ' ') AS toks
+              FROM d WHERE t <> ''
+            ), n AS (
+              SELECT doc_id, toks,
+                     CAST(ceil(greatest(len(toks) - 4, 1) / 12.0) AS INT)
+                       AS n_chunks
+              FROM tok
+            )
+            SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+                   array_to_string(list_slice(toks, j*12 + 1, j*12 + 16), ' ')
+                     AS chunk_text
+            FROM n, range(0, 12) r(j)
+            WHERE j < n_chunks
         """,
         "embed_cosine": """
             WITH a AS (

@@ -1,0 +1,182 @@
+"""Training-data curation operators: PII scrubbing, deterministic
+sampling / dataset mixing, and document chunking.
+
+These are the batch-curation operations a large-scale training-data
+pipeline runs alongside dedup/quality (task brief §extras) — all pure
+Column expressions (JVM-side, whole-stage codegen; zero Python in the
+hot path) and all deterministic functions of row CONTENT, never of
+partitioning, task order, or RNG state:
+
+- ``pii_scrub``: ordered regexp_replace chain (email / SSN / credit
+  card / phone / IPv4 → typed tags) + per-category match counts.  The
+  patterns use only constructs with identical semantics in Java regex
+  (Spark) and RE2 (DuckDB) — char classes, bounded quantifiers,
+  alternation, ``\\b`` — so the contract oracle replays them exactly.
+- ``hash_sample``: content-addressed Bernoulli sampling — keep a row
+  iff a sha256 hex prefix of (key, salt) sorts below the fraction
+  threshold.  Unlike ``df.sample()`` this is reproducible across
+  engines, runs, repartitions and appends (a re-run over 100 TB
+  selects the SAME rows), and composable: disjoint salts give
+  independent samples, the same salt at a larger fraction gives a
+  SUPERSET (progressive sampling).
+- ``mix_datasets``: weighted deterministic mixing of N sources into
+  one tagged corpus (per-source hash_sample + unionByName).
+- ``chunk_documents``: whitespace-token windows of ``size`` with
+  ``overlap`` via sequence+slice+explode — a narrow plan (no shuffle),
+  which is what makes it viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered: specific → general.  Credit card MUST precede phone (a
+# 16-digit run also matches loose phone shapes); SSN precedes phone for
+# the same reason.  Each pattern is Java-regex ∩ RE2 compatible.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("credit_card", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b"),
+    ("phone", r"\b\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Redact PII in ``text_col`` → ``out_col`` (default: in place),
+    adding one ``n_<category>`` count column per pattern.
+
+    Counts are taken on the PRE-redaction text in pattern order against
+    the progressively-scrubbed string (each category counts what it
+    will itself redact — an email's digits can no longer count as a
+    phone), so counts always sum to the number of replacements made."""
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    counts: list[Column] = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.coalesce(
+                F.regexp_count(scrubbed, F.lit(pat)), F.lit(0)
+            ).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(
+        *[c for c in df.columns if c != out_col],
+        scrubbed.alias(out_col),
+        *counts,
+    )
+
+
+def sample_hash(key: Sequence[str | Column], salt: str = "") -> Column:
+    """The 8-hex-char content hash ``hash_sample`` thresholds on —
+    exposed so callers (and the DuckDB oracle) can recompute it:
+    ``substr(sha256(concat_ws('|', salt, key...)), 1, 8)``."""
+    return F.substring(
+        F.sha2(F.concat_ws("|", F.lit(salt), *key), 256), 1, 8
+    )
+
+
+def sample_threshold(fraction: float) -> str:
+    """Hex threshold such that P[hash < t] == fraction (granularity
+    1/16^8 ≈ 2.3e-10 — the quantization bias at 100 TB is ~25 rows).
+
+    The comparison is LEXICOGRAPHIC over the 8-char lowercase hex
+    prefix, so fraction 1.0 cannot be ``format(16**8, 'x')`` — that is
+    9 chars and sorts BEFORE almost every hash ('1…' < 'f…').  Full
+    fraction returns ``"g"``, which sorts after every hex digit."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = int(fraction * 16**8)
+    return "g" if n >= 16**8 else format(n, "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Sequence[str | Column],
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its content hash
+    sorts below the fraction threshold.  Pure filter — pushed to the
+    scan, no shuffle, no RNG; stable under re-runs, repartitioning and
+    incremental appends, which is the reproducibility contract a
+    training-data pipeline needs (``df.sample`` gives none of that).
+    Same salt, larger fraction ⇒ superset; different salts ⇒
+    independent."""
+    return df.where(sample_hash(key, salt) < F.lit(sample_threshold(fraction)))
+
+
+def mix_datasets(
+    sources: Mapping[str, tuple[DataFrame, float]],
+    key: Sequence[str | Column],
+    salt: str = "",
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted deterministic corpus mixing: each named source
+    contributes an independent ``hash_sample`` of its rows at its own
+    rate (salted per source name), tagged with ``source_col``.
+    Column-aligned via unionByName(allowMissingColumns) so
+    heterogeneous sources compose."""
+    parts = []
+    for name in sorted(sources):
+        sdf, rate = sources[name]
+        parts.append(
+            hash_sample(sdf, key, rate, salt=f"{salt}|{name}").withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    if not parts:
+        raise ValueError("mix_datasets needs at least one source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of ``size``
+    tokens with ``overlap`` tokens of left context (stride = size −
+    overlap).  One narrow stage — split/sequence/explode/slice — so it
+    parallelizes with the scan and never shuffles; output carries
+    ``chunk_idx`` (0-based) and ``chunk_text``.
+
+    Every token lands in at least one chunk; the final chunk may be
+    shorter than ``size``.  Empty/NULL documents produce zero chunks
+    (a curation filter upstream owns that decision)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # number of chunks = ceil(max(n - overlap, 1) / stride) for n>0
+    n_chunks = F.ceil((F.greatest(n - F.lit(overlap), F.lit(1))) / F.lit(stride))
+    return (
+        df.where(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+        .withColumn("_toks", toks)
+        .withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1))
+        )
+        .select(
+            *id_cols,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.col("chunk_idx") * stride + 1,
+                    size,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
