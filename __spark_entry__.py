@@ -1829,10 +1829,15 @@ def oracle_sql() -> dict[str, str]:
                        AS n_chunks
               FROM tok
             )
+            -- DuckDB range() cannot take correlated bounds (same
+            -- workaround as multimodal_decode): fixed bound sized to
+            -- the corpus with ample headroom — 64 chunks covers docs
+            -- up to 64*12+4 = 772 tokens (generator max ~100 across
+            -- sf0.001-0.1); the Spark side is unbounded
             SELECT doc_id, CAST(j AS INT) AS chunk_idx,
                    array_to_string(list_slice(toks, j*12 + 1, j*12 + 16), ' ')
                      AS chunk_text
-            FROM n, range(0, 12) r(j)
+            FROM n, range(0, 64) r(j)
             WHERE j < n_chunks
         """,
         "embed_cosine": """

@@ -50,6 +50,7 @@ mid-stream.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable, Mapping
 from typing import Any
 
@@ -75,6 +76,12 @@ class ConfigError(ValueError):
     def __init__(self, path: str, message: str) -> None:
         self.path = path
         super().__init__(f"{path}: {message}")
+
+
+#: live status listeners per (SparkSession, work_dir) — build_pipeline
+#: evicts a work_dir's previous listener on rebuild (see the status
+#: block at the bottom); weak keys so a stopped session drops its map
+_STATUS_LISTENERS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 # -- named-validator registry ------------------------------------------------
@@ -315,6 +322,19 @@ def load_config(source) -> dict:
             f"{pipeline['foreignkeys_policy']!r} needs at least one "
             "foreignkeys: edge",
         )
+    # the whole error-queue surface hangs off the validator: without
+    # one the pipelines never construct a DeadLetterQueue, so declared
+    # retry/FK knobs would be silently inert — reject at LOAD time
+    # (the module contract: meaningless configs fail with the path
+    # named, never half-apply)
+    if pipeline.get("validator") is None:
+        for knob in ("retry_every", "foreignkeys_policy", "foreignkeys"):
+            if knob in p and p[knob] not in (None, "disabled", []):
+                raise ConfigError(
+                    f"{p_path}.{knob}",
+                    "error-queue settings need pipeline.validator — "
+                    "without one no event can ever enter the queue",
+                )
     out["pipeline"] = pipeline
 
     # -- datamodel (fan-out) -------------------------------------------------
@@ -502,7 +522,7 @@ def _reconcile_target(pipe, key_specs: dict | None, secret_attrs: set) -> None:
 
     # -- 2. declared-key change → live migration ----------------------
     if disk_key is not None and disk_key != declared_key:
-        if pipe.dlq is not None and pipe.dlq.read().count() > 0:
+        if pipe.dlq is not None and not pipe.dlq.known_empty():
             raise ConfigError(
                 "hermes-spark.datamodel.key",
                 "drain the error queue before a pkey migration — queued "
@@ -757,8 +777,19 @@ def build_pipeline(spark: SparkSession, config, **overrides):
             PipelineStatusListener,
         )
 
+        # listeners are SESSION-global: the declarative workflow
+        # rebuilds the pipeline over the same work_dir (re-declared
+        # datamodel → build_pipeline again), and without eviction each
+        # rebuild would stack another live listener — every trigger
+        # logged N times and stale listeners writing to dead paths.
+        # One listener per (session, work_dir): evict the predecessor.
+        reg = _STATUS_LISTENERS.setdefault(spark, {})
+        old = reg.pop(pcfg["work_dir"], None)
+        if old is not None:
+            spark.streams.removeListener(old)
         listener = PipelineStatusListener(path=st["path"], keep=st["keep"])
         spark.streams.addListener(listener)
+        reg[pcfg["work_dir"]] = listener
         pipe.status_api = PipelineStatus(pipe, listener)
 
     return pipe

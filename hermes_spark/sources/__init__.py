@@ -153,6 +153,17 @@ def _jdbc_snapshot(spark, scheme: str, rest: str, reader_factory=None):
     import urllib.parse
 
     base, _, qs = rest.partition("?")
+    # parse_qsl DROPS '&'-separated fragments that carry no '=' before
+    # any downstream check can see them (e.g. `?query=... WHERE flags
+    # & 8 > 0` loses ' 8 > 0' entirely) — detect them on the raw
+    # string, where every pair must be key=value
+    bare = [f for f in qs.split("&") if f and "=" not in f]
+    if bare:
+        raise ValueError(
+            f"{scheme} source: query-string fragments without '=' "
+            f"({bare}) — an un-encoded '&' inside ?query= SQL; "
+            "URL-encode the SQL (urllib.parse.quote_plus)"
+        )
     params = dict(urllib.parse.parse_qsl(qs))
     table, query = params.pop("dbtable", None), params.pop("query", None)
     if not (table or query):

@@ -210,11 +210,59 @@ def test_fk_policy_needs_edges():
         load_config(_minimal(foreignkeys_policy="on_remove_event"))
     cfg = load_config(
         _minimal(
+            validator={"expr": "true"},
             foreignkeys_policy="on_remove_event",
             foreignkeys=[{"parent": "conv_id", "child": "conv_id"}],
         )
     )
     assert cfg["pipeline"]["fk_map"] == [("conv_id", "conv_id")]
+
+
+def test_error_queue_knobs_need_validator():
+    """retry/FK settings without a validator would be silently inert
+    (no DeadLetterQueue is ever constructed) — the load must reject
+    the combination, naming the knob (review finding, round 6)."""
+    for knob in (
+        {"retry_every": 4},
+        {
+            "foreignkeys_policy": "on_remove_event",
+            "foreignkeys": [{"parent": "conv_id", "child": "conv_id"}],
+        },
+    ):
+        with pytest.raises(ConfigError, match="validator"):
+            load_config(_minimal(**knob))
+    # the explicit off-value stays accepted without a validator
+    # (retry_every has no off-value: omit the key)
+    load_config(_minimal(foreignkeys_policy="disabled"))
+
+
+def test_rebuild_same_workdir_does_not_stack_listeners(spark, tmp_work):
+    """build_pipeline over the SAME work_dir again (the declarative
+    re-declare workflow) must evict the previous status listener —
+    listeners are session-global and would otherwise multiply every
+    event into the JSONL (review finding, round 6)."""
+    from hermes_spark.config import _STATUS_LISTENERS
+
+    cfg = {
+        "hermes-spark": {
+            "pipeline": {
+                "source": os.path.join(tmp_work, "s"),
+                "work_dir": os.path.join(tmp_work, "w"),
+            },
+            "status": {"path": os.path.join(tmp_work, "w", "st.jsonl")},
+        }
+    }
+    p1 = build_pipeline(spark, cfg)
+    l1 = p1.status_api.listener
+    p2 = build_pipeline(spark, cfg)
+    l2 = p2.status_api.listener
+    assert l1 is not l2
+    # the session registry may hold other tests' work_dirs — assert
+    # THIS work_dir maps to exactly the newest listener and the old
+    # one is fully evicted
+    reg = _STATUS_LISTENERS[spark]
+    assert reg[os.path.join(tmp_work, "w")] is l2
+    assert l1 not in reg.values()
 
 
 def test_invalid_yaml_text():

@@ -265,6 +265,23 @@ def test_jdbc_unencoded_query_ampersand_detected(spark):
         )
 
 
+def test_jdbc_unencoded_ampersand_without_equals_detected(spark):
+    """parse_qsl silently DROPS '&'-fragments with no '=' before the
+    bogus-key guard can see them (`WHERE flags & 8 > 0` loses
+    ' 8 > 0' entirely, prefix still valid SQL) — the raw-string guard
+    must catch this class too (review finding, round 6)."""
+    import pytest
+
+    from hermes_spark.sources import snapshot
+
+    with pytest.raises(ValueError, match="URL-encode"):
+        snapshot(
+            spark,
+            "oracle://h:1521/svc?query=SELECT a FROM t WHERE flags & 8 > 0",
+            reader_factory=_StubReader,
+        )
+
+
 def test_jdbc_encoded_query_roundtrips(spark):
     """A quote_plus-encoded query decodes cleanly: separators arrive
     as literals inside the value, not as pair boundaries."""
