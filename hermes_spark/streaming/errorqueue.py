@@ -150,7 +150,7 @@ class DeadLetterQueue:
         snapshot GC.  Not ``table.compact()``: that folds liveness
         through the schema's ``op`` column, which here is the EVENT op
         — a queued delete-event must survive compaction."""
-        self.table.overwrite(self.read())
+        self.table.overwrite(self.read().repartition(1))
         self.table.vacuum(retain_superseded=1)
 
     # -- enqueue-time FK policy ----------------------------------------
@@ -230,7 +230,7 @@ class DeadLetterQueue:
 
         if not autoremediate:
             self.table.merge(
-                failed.withColumn("_qop", F.lit("put")),
+                failed.withColumn("_qop", F.lit("put")).repartition(1),
                 batch_id=batch_id, op_col="_qop",
             )
             self._empty_hint = False
@@ -327,7 +327,14 @@ class DeadLetterQueue:
         changes = new_rows.withColumn("_qop", F.lit("put")).unionByName(
             self._deletes_for(dead)
         )
-        self.table.merge(changes, batch_id=batch_id, op_col="_qop")
+        # one file per queue delta: the queue is O(#failing keys) by the
+        # compaction contract above, but an un-repartitioned write emits
+        # one file per PLAN partition — a tiny-file explosion that makes
+        # queue disk usage grow with shuffle width, not queue size.
+        # repartition (not coalesce) keeps the fold itself parallel.
+        self.table.merge(
+            changes.repartition(1), batch_id=batch_id, op_col="_qop"
+        )
         self._empty_hint = False
 
     def retry_candidates(self) -> DataFrame:
@@ -343,7 +350,8 @@ class DeadLetterQueue:
         tombstones, O(affected)."""
         gone = self.read().join(succeeded_keys, self.key, "left_semi")
         self.table.merge(
-            self._deletes_for(gone), batch_id=batch_id, op_col="_qop"
+            self._deletes_for(gone).repartition(1),
+            batch_id=batch_id, op_col="_qop",
         )
         self._empty_hint = None  # only removed rows — may now be empty
 

@@ -70,6 +70,13 @@ def test_persistent_failure_queue_and_disk_bounded(spark, actions):
     failing_keys: set[int] = set()
     offset = 0
     drains = 0
+    # delta commits since the last maintain: vacuum(retain_superseded=1)
+    # keeps the whole PREVIOUS generation (its base + these deltas) for
+    # concurrently-planned readers, so the honest disk bound after a
+    # maintain is  new base (1 file) + old base (1) + deltas_since —
+    # constant in TOTAL history, linear only in traffic since the last
+    # maintenance cycle
+    deltas_since = 0
 
     for kind, arg in actions:
         if kind == "enqueue":
@@ -84,9 +91,12 @@ def test_persistent_failure_queue_and_disk_bounded(spark, actions):
             )
             dlq.enqueue(df, autoremediate=True)
             total_enqueued += len(rows)
+            deltas_since += 1
         elif kind == "drain_fail":
             drains += 1
             tag = drains
+            if not dlq.read().isEmpty():
+                deltas_since += 1  # the re-enqueue of the failed pass
 
             # the persistent failure: every candidate fails again; the
             # operational loop re-enqueues them with the fresh error
@@ -101,11 +111,15 @@ def test_persistent_failure_queue_and_disk_bounded(spark, actions):
         else:
             dlq.maintain()
             # disk bound: after maintenance the queue's physical file
-            # count must be O(1), independent of how many
-            # enqueue/drain cycles preceded it
-            assert _queue_files(work) <= 10, (
-                f"queue dir grew to {_queue_files(work)} files after maintain"
+            # count is a small constant plus the retained previous
+            # generation (one base + the deltas since the previous
+            # maintain) — independent of TOTAL history
+            bound = 4 + deltas_since
+            assert _queue_files(work) <= bound, (
+                f"queue dir grew to {_queue_files(work)} files after "
+                f"maintain (bound {bound})"
             )
+            deltas_since = 0
 
         # growth bound: with no partially-processed rows, enqueue-time
         # compaction folds every key to AT MOST ONE queue row — queue
@@ -125,6 +139,15 @@ def test_persistent_failure_queue_and_disk_bounded(spark, actions):
     if drains and not dlq.read().isEmpty():
         errs = {r.err for r in dlq.read().select("err").collect()}
         assert all(e is not None for e in errs)
+
+    # quiescence: two consecutive maintains with no traffic collapse the
+    # footprint to the O(1) floor (new base + retained previous base),
+    # whatever the interleaving history was
+    dlq.maintain()
+    dlq.maintain()
+    assert _queue_files(work) <= 4, (
+        f"quiescent queue still holds {_queue_files(work)} files"
+    )
 
 
 def test_pipeline_persistent_poison_key_stays_bounded(spark, tmp_work):
