@@ -232,6 +232,20 @@ class IcebergTable:
         self.spark.sql(
             create_table_sql(self.identifier, self.schema, self.partition_by)
         )
+        # latch the declared key for logged_key() — only when the table
+        # is FRESH (no snapshots, property absent): a pre-existing
+        # table's recorded history wins, exactly like the local twin's
+        # create record, which is written only at first creation
+        # (tables.py logged_key semantics)
+        if (
+            "hermes.key" not in self._properties()
+            and self.current_version() is None
+        ):
+            self.spark.sql(
+                set_properties_sql(
+                    self.identifier, {"hermes.key": json.dumps(self.key)}
+                )
+            )
 
     @property
     def _sidecar_identifier(self) -> str:
@@ -300,6 +314,62 @@ class IcebergTable:
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return rows[0].snapshot_id if rows else None
+
+    def _properties(self) -> dict:
+        return {
+            r.key: r.value
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.identifier}"
+            ).collect()
+        }
+
+    def commit_info_of_batch(self, batch_id: int | str) -> dict | None:
+        """The lineage info recorded for a batch's commit, or None if
+        the batch never committed (``ParquetMergeTable`` parity,
+        tables.py commit_info_of_batch).  Caveat vs the local twin:
+        there the info rides the SAME ledger append as the data; here
+        ``annotate_commit`` writes the ``hermes.lineage.<snapshot>``
+        property AFTER the MERGE, so a crash between the two leaves a
+        committed batch with ``{}`` — callers (the sink's replay path)
+        already treat the inline info as best-effort and fall back to
+        the sidecar."""
+        v = self.version_of_batch(batch_id)
+        if v is None:
+            if str(batch_id) not in self._latched_batch_ids():
+                return None
+            v = f"batch-{batch_id}"  # empty-MERGE commits have no snapshot
+        raw = self._properties().get(f"hermes.lineage.{v}")
+        return json.loads(raw) if raw else {}
+
+    def logged_key(self) -> list[str] | None:
+        """The key the CATALOG currently records (``hermes.key``
+        property, latched at first creation and updated by
+        ``migrate_key``) — None for tables that predate key logging.
+        The declarative layer compares this against a newly-declared
+        key to decide whether a live pkey migration is needed."""
+        raw = self._properties().get("hermes.key")
+        return list(json.loads(raw)) if raw else None
+
+    def logged_schema(self) -> T.StructType | None:
+        """The column set the TABLE currently holds.  Iceberg's catalog
+        IS the schema log — ``evolve``'s ADD COLUMNS and
+        ``purge_columns``'s DROP apply eagerly — so the live DESCRIBE
+        output equals the local twin's create + dataschema adds − purge
+        drops fold.  None when the catalog returns no columns."""
+        rows = self.spark.sql(
+            f"DESCRIBE TABLE {self.identifier}"
+        ).collect()
+        fields = []
+        for r in rows:
+            name = (r.col_name or "").strip()
+            if not name or name.startswith("#"):
+                break  # partition/metadata sections follow the columns
+            fields.append(
+                T.StructField(
+                    name, T._parse_datatype_string(r.data_type), True
+                )
+            )
+        return T.StructType(fields) if fields else None
 
     def _latched_batch_props(self) -> dict:
         """``hermes.batch.<id>`` table properties, id → value.  Value
@@ -685,6 +755,13 @@ class IcebergTable:
             # dropped AFTER the rewrite: the transform may still read
             # the old columns to compute the new key
             self.spark.sql(drop_columns_sql(self.identifier, diff.removed))
+        # record the new key for logged_key() (the local twin's migrate
+        # ledger record)
+        self.spark.sql(
+            set_properties_sql(
+                self.identifier, {"hermes.key": json.dumps(self.key)}
+            )
+        )
 
     def purge_columns(self, cols: Sequence[str]) -> None:
         """Drop columns AND destroy their values: Iceberg's DROP COLUMN

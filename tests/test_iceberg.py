@@ -618,3 +618,72 @@ def test_migrate_key_drops_removed_columns_after_rewrite():
     i_drop = fake.index_of("sql", "DROP COLUMN")
     assert i_add < i_rewrite < i_drop
     assert t.key == ["nid"]
+
+
+# -- logged key/schema + commit-info parity (round 6) -------------------
+
+def test_fresh_table_latches_declared_key():
+    """First creation records hermes.key (the local twin's create
+    ledger record); logged_key reads it back."""
+    fake = FakeIcebergSession(snapshots=[])
+    t = _table(fake)
+    assert fake.props["hermes.key"] == '["id"]'
+    assert t.logged_key() == ["id"]
+
+
+def test_preexisting_table_key_history_wins():
+    """A table with snapshots but no hermes.key predates key logging —
+    init must NOT stamp the newly-declared key over unknown history."""
+    fake = FakeIcebergSession(snapshots=[(5, "b1")])
+    t = _table(fake)
+    assert "hermes.key" not in fake.props
+    assert t.logged_key() is None
+    # and a recorded key from a previous run is returned, not replaced
+    fake2 = FakeIcebergSession(
+        snapshots=[(5, "b1")], props={"hermes.key": '["old_id"]'}
+    )
+    t2 = IcebergTable(fake2, "cat.db.t", key=["id"], schema=SCHEMA)
+    assert t2.logged_key() == ["old_id"]
+
+
+def test_migrate_key_updates_logged_key():
+    fake = FakeIcebergSession(snapshots=[(1, "b1")])
+    t = _table(fake)
+    t.read = lambda **kw: _FakeDF(fake)
+    new_schema = T.StructType(
+        [
+            T.StructField("nid", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    t.migrate_key(["nid"], lambda df: df, new_schema)
+    assert t.logged_key() == ["nid"]
+
+
+def test_commit_info_of_batch_reads_lineage_property():
+    fake = FakeIcebergSession(
+        snapshots=[(7, "b1")],
+        props={"hermes.lineage.7": '{"inserts": 3}'},
+    )
+    t = _table(fake)
+    assert t.commit_info_of_batch("b1") == {"inserts": 3}
+    # committed batch without lineage (crash between MERGE and
+    # annotate): {} not None — the batch DID commit
+    fake.snapshots.insert(0, (9, "b2"))
+    assert t.commit_info_of_batch("b2") == {}
+    # never-committed batch
+    assert t.commit_info_of_batch("nope") is None
+
+
+def test_commit_info_of_batch_empty_merge_latch():
+    """An empty MERGE creates no snapshot; its id is property-latched
+    and its lineage rides the batch-scoped marker."""
+    fake = FakeIcebergSession(
+        snapshots=[],
+        props={
+            "hermes.batch.b9": "1",
+            "hermes.lineage.batch-b9": '{"inserts": 0}',
+        },
+    )
+    t = _table(fake)
+    assert t.commit_info_of_batch("b9") == {"inserts": 0}
