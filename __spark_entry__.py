@@ -915,6 +915,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize/resample oracle (round 6): images nearest-neighbor
+    to 3×2 (in image orientation — the BMP bottom-up flip matters),
+    audio nearest-resampled to 4 kHz.  The index maps are pure integer
+    floor formulas, so DuckDB recomputes the RESIZED content sums from
+    the generator formulas alone — sampling at different offsets, or
+    treating a bottom-up BMP as top-down, changes ``sum_values``."""
+    from hermes_spark.functions.multimodal import (
+        resize_media,
+        synthetic_decodable_media,
+    )
+
+    return resize_media(
+        synthetic_decodable_media(spark, n=48), out_w=3, out_h=2,
+        out_rate=4000,
+    ).select(
+        "media_id", "format", "decoded", "out_width", "out_height",
+        "out_frames", "out_rate", "n_values", "sum_values",
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-sampling oracle (round 6): one row per 5 ms tick per
+    audio payload, ``sample_sum`` = channel-sum of the decoded source
+    frame at ``t*rate // 1000`` — recomputed by DuckDB from the
+    generation formulas."""
+    from hermes_spark.functions.multimodal import (
+        sample_frames,
+        synthetic_decodable_media,
+    )
+
+    return sample_frames(
+        synthetic_decodable_media(spark, n=48), every_ms=5
+    ).select("media_id", "frame_ts_ms", "decoded", "sample_sum")
+
+
 def q_merkle_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase merkle — must equal q_merkle_events
     bit-for-bit (same oracle): the salting guard for hot keys."""
@@ -1229,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "pii_scrub": q_pii_scrub,
         "hash_sample": q_hash_sample,
         "mix_datasets": q_mix_datasets,
@@ -1812,6 +1850,90 @@ def oracle_sql() -> dict[str, str]:
                       WHERE k < (5 + v) * (2 + v % 4) * 3)
               END AS BIGINT) AS sum_values
             FROM m
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+              SELECT i, CAST(i % 3 AS INT) AS f, CAST(i // 3 AS BIGINT) AS v
+              FROM range(0, 48) t(i)
+            ),
+            -- images: 3x2 nearest-neighbor, 18 output cells per media.
+            -- t -> (r, c, chn); source pixel (r*h//2, c*w//3); BMP is
+            -- bottom-up so its file row is (h-1 - image_row)
+            img AS (
+              SELECT i, f, v,
+                     t // 9 AS r, (t % 9) // 3 AS c, t % 3 AS chn
+              FROM m, range(0, 18) s(t) WHERE f IN (1, 2)
+            ),
+            impx AS (
+              SELECT i, f, v,
+                CASE WHEN f = 1 THEN
+                  (v*13 + (((3 + v%5) - 1 - (r*(3 + v%5) // 2)) * ((4+v)*3)
+                           + (c*(4+v) // 3)*3 + chn) * 7) % 256
+                ELSE
+                  (v*11 + ((r*(2 + v%4) // 2) * ((5+v)*3)
+                           + (c*(5+v) // 3)*3 + chn) * 3) % 256
+                END AS val
+              FROM img
+            ),
+            isum AS (
+              SELECT i, f, v, SUM(val) AS s FROM impx GROUP BY i, f, v
+            ),
+            -- audio: out_frames = frames*4000//rate, all channels kept;
+            -- output cell t -> frame t//ch, channel t%ch, source frame
+            -- (t//ch)*rate//4000 (fixed range bound, correlated filter)
+            wv AS (
+              SELECT i, v, 8000 + v*500 AS rate, 1 + v%2 AS ch,
+                     100 + v*10 AS frames
+              FROM m WHERE f = 0
+            ),
+            wcell AS (
+              SELECT i, v, rate, ch,
+                     greatest(frames*4000 // rate, 1) AS mfr, t
+              FROM wv, range(0, 500) s(t)
+              WHERE t < greatest(frames*4000 // rate, 1) * ch
+            ),
+            wsum AS (
+              SELECT i, ch, mfr,
+                SUM(((v*7919 + (((t // ch)*rate // 4000)*ch + (t % ch))*31)
+                     % 65536) - 32768) AS s
+              FROM wcell GROUP BY i, ch, mfr
+            )
+            SELECT i AS media_id,
+                   CASE f WHEN 1 THEN 'bmp' ELSE 'ppm' END AS format,
+                   TRUE AS decoded,
+                   CAST(3 AS INT) AS out_width, CAST(2 AS INT) AS out_height,
+                   CAST(NULL AS INT) AS out_frames,
+                   CAST(NULL AS INT) AS out_rate,
+                   CAST(18 AS BIGINT) AS n_values,
+                   CAST(s AS BIGINT) AS sum_values
+            FROM isum
+            UNION ALL
+            SELECT i, 'wav', TRUE, NULL, NULL,
+                   CAST(mfr AS INT), CAST(4000 AS INT),
+                   CAST(mfr * ch AS BIGINT), CAST(s AS BIGINT)
+            FROM wsum
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT CAST(i AS BIGINT) AS i, CAST(i // 3 AS BIGINT) AS v,
+                     8000 + (i // 3)*500 AS rate,
+                     1 + (i // 3) % 2 AS ch,
+                     100 + (i // 3)*10 AS frames
+              FROM range(0, 48) t(i) WHERE i % 3 = 0
+            ),
+            ticks AS (
+              SELECT i, v, rate, ch, frames, j*5 AS t,
+                     (j*5*rate) // 1000 AS fr
+              FROM m, range(0, 20) s(j)
+              WHERE (j*5*rate) // 1000 < frames
+            )
+            SELECT i AS media_id, CAST(t AS INT) AS frame_ts_ms,
+                   TRUE AS decoded,
+                   CAST(((v*7919 + (fr*ch)*31) % 65536) - 32768
+                     + CASE WHEN ch = 2
+                       THEN ((v*7919 + (fr*ch + 1)*31) % 65536) - 32768
+                       ELSE 0 END AS BIGINT) AS sample_sum
+            FROM ticks
         """,
         "pii_scrub": _pii_oracle_sql(),
         **_curation_sampling_oracles(),

@@ -198,6 +198,11 @@ def _decode_bmp(payload: bytes) -> dict:
     px = np.frombuffer(
         payload, dtype=np.uint8, count=stride * height, offset=data_offset
     ).reshape(height, stride)[:, : width * 3]
+    if raw_height > 0:
+        # positive height = bottom-up storage; present ``_values`` in
+        # IMAGE orientation (row 0 = top) so row-sensitive consumers
+        # (resize) are orientation-correct.  Sums/histograms unchanged.
+        px = px[::-1]
     return {
         "format": "bmp",
         "width": width,
@@ -392,6 +397,181 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("out_frames", T.IntegerType(), True),
+        T.StructField("out_rate", T.IntegerType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("sum_values", T.LongType(), True),
+    ]
+)
+
+_RESIZE_NULLS = {
+    "format": None, "out_width": None, "out_height": None,
+    "out_frames": None, "out_rate": None, "n_values": None,
+    "sum_values": None,
+}
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 3, out_h: int = 2, out_rate: int = 4000
+) -> DataFrame:
+    """REAL resize / resample for the stdlib-decodable formats, as the
+    same Arrow-batched ``mapInPandas`` pattern as ``decode_media``.
+
+    Images (BMP / PPM): nearest-neighbor to ``out_w × out_h`` in image
+    orientation — output pixel (r, c) samples source pixel
+    ``(r*h // out_h, c*w // out_w)``.  Audio (WAV): nearest-neighbor
+    resample to ``out_rate`` Hz — ``out_frames = n*out_rate // rate``
+    output frames, output frame j sampling source frame
+    ``j*rate // out_rate`` (all channels kept).  The index maps are
+    pure integer floor formulas, so the ``multimodal_resize`` contract
+    query recomputes ``sum_values`` of the RESIZED content in DuckDB
+    from the generator formulas alone — an implementation that
+    resampled at different offsets (or forgot the BMP bottom-up flip)
+    produces a different sum.  Undecodable payloads pass through with
+    ``decoded=False`` rather than failing the scan."""
+    if out_w < 1 or out_h < 1 or out_rate < 1:
+        raise ValueError("resize targets must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": mid, "kind": kind, "decoded": False,
+                    **_RESIZE_NULLS,
+                }
+                fmt = _sniff_format(payload)
+                if fmt is not None and CAPABILITIES.get(fmt):
+                    try:
+                        props = _DECODERS[fmt](payload)
+                    except (ValueError, wave.Error, struct.error, EOFError):
+                        out.append(row)
+                        continue
+                    if fmt in ("bmp", "ppm"):
+                        w, h = props["width"], props["height"]
+                        px = props["_values"].reshape(h, w * 3)
+                        rs = (np.arange(out_h) * h) // out_h
+                        cs = (np.arange(out_w) * w) // out_w
+                        byte_cols = (
+                            cs[:, None] * 3 + np.arange(3)
+                        ).ravel()
+                        res = px[rs][:, byte_cols]
+                        row.update(
+                            format=fmt, decoded=True,
+                            out_width=out_w, out_height=out_h,
+                            n_values=int(res.size),
+                            sum_values=int(res.sum(dtype=np.int64)),
+                        )
+                    else:  # wav
+                        ch = props["n_channels"]
+                        rate = props["sample_rate"]
+                        n = props["n_frames"]
+                        m = max(1, (n * out_rate) // rate)
+                        sf = (np.arange(m) * rate) // out_rate
+                        frames = props["_values"].reshape(n, ch)
+                        res = frames[sf]
+                        row.update(
+                            format=fmt, decoded=True,
+                            out_frames=int(m), out_rate=out_rate,
+                            n_values=int(res.size),
+                            sum_values=int(res.sum(dtype=np.int64)),
+                        )
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("sample_sum", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5) -> DataFrame:
+    """Frame sampling across modalities — one row per time tick.
+
+    Audio (WAV) is REAL: at each tick ``t`` (0, every_ms, ... while
+    ``t*rate // 1000 < n_frames``) the decoded source frame
+    ``t*rate // 1000`` is read and ``sample_sum`` is the sum of its
+    channel samples — a pure formula of the tick, recomputed by the
+    ``multimodal_frames`` contract query in DuckDB.  Video payloads
+    need codecs absent from this container: they emit the same
+    tick rows from metadata duration with ``decoded=False`` (the
+    plumbing — schema, tick plan, batch shape — is identical, only
+    the per-frame decode is stubbed; ``frame_sample_plan`` remains
+    the JVM-side metadata-only variant)."""
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = _sniff_format(payload)
+                if fmt == "wav" and CAPABILITIES.get("wav"):
+                    try:
+                        props = _decode_wav(payload)
+                    except (ValueError, wave.Error, struct.error, EOFError):
+                        continue
+                    ch = props["n_channels"]
+                    rate = props["sample_rate"]
+                    n = props["n_frames"]
+                    frames = props["_values"].reshape(n, ch)
+                    t = 0
+                    while (t * rate) // 1000 < n:
+                        f = (t * rate) // 1000
+                        out.append({
+                            "media_id": mid, "kind": kind,
+                            "frame_ts_ms": t, "decoded": True,
+                            "sample_sum": int(
+                                frames[f].sum(dtype=np.int64)
+                            ),
+                        })
+                        t += every_ms
+                elif kind == "video" and meta is not None:
+                    raw = meta.get("duration_ms") if isinstance(
+                        meta, dict
+                    ) else meta["duration_ms"]
+                    # Arrow structs land as dicts with float-typed ints
+                    # (NaN for NULL) in the pandas batch
+                    dur = (
+                        0 if raw is None or (
+                            isinstance(raw, float) and raw != raw
+                        ) else int(raw)
+                    )
+                    for t in range(0, max(dur, 1), every_ms):
+                        out.append({
+                            "media_id": mid, "kind": kind,
+                            "frame_ts_ms": t, "decoded": False,
+                            "sample_sum": None,
+                        })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

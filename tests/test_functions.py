@@ -395,3 +395,76 @@ def test_simhash_token_doc_freq_prefilter(spark):
     raw = [r.simhash for r in simhash(df).collect()]
     # measured on this corpus: raw ≈ 15.3 bits apart, filtered ≈ 28.8
     assert avg_ham(raw) < avg_ham(filtered.values()) * 0.6
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """round 6: real nearest-neighbor resize / resample + audio frame
+    sampling.  Orientation matters: a bottom-up and a top-down BMP with
+    IDENTICAL pixel-area bytes decode to vertically mirrored images, so
+    their 3x2 resizes sum differently (unless the sampled rows happen
+    to mirror onto themselves) — the op must flip bottom-up storage."""
+    from hermes_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        make_bmp,
+        make_wav,
+        resize_media,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, "image", make_bmp(5, 4, seed=9), None),
+            (1, "image", make_bmp(5, 4, seed=9, topdown=True), None),
+            (2, "audio", make_wav(8000, 2, list(range(-20, 20))), None),
+            (3, "video", b"\x00opaque", (None, None, 40, "h264")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    res = {r.media_id: r for r in resize_media(media, 3, 2, 4000).collect()}
+
+    # bottom-up flip: image row r samples source row r*4//2 in IMAGE
+    # orientation; for the bottom-up file that is file row (3 - r*2)
+    def px(k):
+        return (9 + k * 7) % 256
+
+    exp_bu = sum(
+        px((4 - 1 - (r * 4 // 2)) * 15 + (c * 5 // 3) * 3 + ch)
+        for r in range(2) for c in range(3) for ch in range(3)
+    )
+    exp_td = sum(
+        px((r * 4 // 2) * 15 + (c * 5 // 3) * 3 + ch)
+        for r in range(2) for c in range(3) for ch in range(3)
+    )
+    assert res[0].sum_values == exp_bu
+    assert res[1].sum_values == exp_td
+    assert exp_bu != exp_td  # content chosen so the mirror is visible
+
+    # audio: 20 frames @8k stereo -> 10 frames @4k, frame j samples
+    # source frame 2j (both channels)
+    samples = list(range(-20, 20))
+    assert res[2].out_frames == 10 and res[2].n_values == 20
+    assert res[2].sum_values == sum(
+        samples[(2 * j) * 2 + c] for j in range(10) for c in range(2)
+    )
+    # undecodable passes through, does not fail the scan
+    assert res[3].decoded is False and res[3].sum_values is None
+
+    # frame sampling: audio ticks are REAL channel sums; video ticks
+    # come from metadata with decoded=False (codec absent)
+    fr = sample_frames(media, every_ms=2).collect()
+    audio = sorted(
+        (r.frame_ts_ms, r.sample_sum) for r in fr if r.media_id == 2
+    )
+    # 20 frames @8000 Hz = 2.5 ms of audio -> ticks 0 and 2
+    assert audio == [
+        (0, samples[0] + samples[1]),
+        (2, samples[16 * 2] + samples[16 * 2 + 1]),
+    ]
+    video = sorted(r.frame_ts_ms for r in fr if r.media_id == 3)
+    assert video == list(range(0, 40, 2))
+    assert all(not r.decoded for r in fr if r.media_id == 3)
+
+    # the fake-media table (no decodable payloads): only video ticks
+    fake = sample_frames(synthetic_media(spark, 9), every_ms=1000)
+    assert {r.kind for r in fake.collect()} <= {"video"}
