@@ -1214,6 +1214,46 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, ["doc_id"], size=16, overlap=4)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.py): the corpus is split
+    deterministically into an "eval set" (doc_id % 29 == 0) and the
+    training rest; every (train, eval) pair sharing a distinct word
+    3-gram is reported with the overlap measured against the eval doc
+    (GPT-3 appendix-C convention).  The eval shingle frame is
+    broadcast, so the corpus side never shuffles for the probe — the
+    100 TB shape.  The testdata corpus contains real near-copies, so
+    the report surfaces genuine overlap_frac ≈ 1.0 contamination."""
+    from hermes_spark.functions.curation import decontamination_report
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    tr = d.where(F.col("doc_id") % 29 != 0)
+    return decontamination_report(tr, ev, n=3).select(
+        "doc_id", "eval_id", "n_overlap", "eval_sz", "overlap_frac"
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (curation.py) over a corpus
+    with KNOWN line structure: each doc becomes [text, 'filler-<id>',
+    text again if id is even], so even docs must report
+    dup_line_frac = 2/3 and a char-weighted fraction near 1, odd docs
+    0 — plus top-token concentration over the whole doc.  The oracle
+    recomputes every fraction from the same constructed text."""
+    from hermes_spark.functions.curation import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("filler-"), F.col("doc_id").cast("string")),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")),
+        ).alias("text"),
+    )
+    return repetition_stats(d)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1271,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "mix_datasets": q_mix_datasets,
         "chunk_documents": q_chunk_documents,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
         "ldap_hash": q_ldap_hash,
         "embed_cosine": q_embed_cosine,
@@ -1961,6 +2003,91 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text
             FROM n, range(0, 64) r(j)
             WHERE j < n_chunks
+        """,
+        "decontaminate": """
+            WITH ev AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0
+            ), tr AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0
+            ), evt AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM ev
+            ), evp AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+              FROM evt
+            ), evsh AS (
+              SELECT DISTINCT doc_id,
+                     t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                       || ' ' || t[CAST(i AS INT) + 2] AS s
+              FROM evp
+            ), evsz AS (
+              SELECT doc_id AS eval_id, CAST(count(*) AS BIGINT) AS eval_sz
+              FROM evsh GROUP BY 1
+            ), trt AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM tr
+            ), trp AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+              FROM trt
+            ), trsh AS (
+              SELECT DISTINCT doc_id,
+                     t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                       || ' ' || t[CAST(i AS INT) + 2] AS s
+              FROM trp
+            ), hits AS (
+              SELECT trsh.doc_id, evsh.doc_id AS eval_id,
+                     CAST(count(*) AS BIGINT) AS n_overlap
+              FROM trsh JOIN evsh ON trsh.s = evsh.s GROUP BY 1, 2
+            )
+            SELECT h.doc_id, h.eval_id, h.n_overlap, z.eval_sz,
+                   CAST(h.n_overlap AS DOUBLE) / CAST(z.eval_sz AS DOUBLE)
+                     AS overlap_frac
+            FROM hits h JOIN evsz z USING (eval_id)
+        """,
+        "repetition_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), text,
+                               'filler-' || CAST(doc_id AS VARCHAR),
+                               CASE WHEN doc_id % 2 = 0 THEN text END) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM d
+            ), pl AS (
+              SELECT doc_id, l, CAST(count(*) AS BIGINT) AS c,
+                     CAST(length(l) AS BIGINT) AS ln
+              FROM lines GROUP BY 1, 2
+            ), la AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(coalesce(sum(c) FILTER (c > 1), 0) AS DOUBLE)
+                       / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+                     CASE WHEN sum(c * ln) > 0
+                          THEN CAST(coalesce(sum(c * ln) FILTER (c > 1), 0)
+                                 AS DOUBLE) / CAST(sum(c * ln) AS DOUBLE)
+                          ELSE 0.0 END AS dup_line_char_frac
+              FROM pl GROUP BY 1
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS t
+              FROM d
+            ), pt AS (
+              SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+              FROM toks WHERE t <> '' GROUP BY 1, 2
+            ), ta AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                       AS top_token_frac
+              FROM pt GROUP BY 1
+            )
+            SELECT la.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+                   coalesce(n_tokens, 0) AS n_tokens, top_token_frac
+            FROM la LEFT JOIN ta USING (doc_id)
         """,
         "embed_cosine": """
             WITH a AS (

@@ -180,3 +180,155 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+def decontamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap_frac: float = 0.0,
+) -> DataFrame:
+    """Train↔eval benchmark-contamination report: one row per
+    (train doc, eval doc) pair sharing at least one distinct word
+    ``n``-gram, with the overlap measured AGAINST THE EVAL DOC
+    (``overlap_frac = n_overlap / eval_sz``) — the decontamination
+    convention (GPT-3 appendix C / Gopher): an eval item is leaked when
+    a large fraction of ITS n-grams appear in a training document,
+    regardless of how large that training document is.
+
+    Scale design: the eval set is tiny next to a 100 TB corpus, so its
+    distinct-shingle frame (shingle, eval_id, eval_sz) is
+    ``broadcast()`` — the train side streams through a map-side hash
+    join keyed on its own shingles with NO shuffle of the corpus; the
+    only shuffle is the per-(train,eval) overlap count, whose input is
+    already collapsed to matching shingles.  Output columns:
+    (``id_col``, ``eval_id_col``, n_overlap, eval_sz, overlap_frac).
+
+    ``min_overlap_frac`` filters the report; pair it with
+    ``drop_contaminated`` to scrub the corpus.  Shingles are distinct
+    per doc and lowercased (``word_shingles`` semantics — the same
+    unit the dedup family uses)."""
+    from pyspark.sql.functions import broadcast
+
+    from hermes_spark.functions.dedup import _distinct_shingles
+
+    ev = _distinct_shingles(eval_df, id_col, text_col, n, unit="word")
+    ev_sz = ev.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("eval_sz")
+    )
+    ev = (
+        ev.join(ev_sz, id_col)
+        .select(
+            F.col(id_col).alias(eval_id_col), "sh", "eval_sz"
+        )
+    )
+    tr = _distinct_shingles(train, id_col, text_col, n, unit="word")
+    hits = (
+        tr.join(broadcast(ev), "sh")
+        .groupBy(id_col, eval_id_col, "eval_sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        hits.withColumn(
+            "overlap_frac",
+            F.col("n_overlap").cast("double") / F.col("eval_sz").cast("double"),
+        )
+        .where(F.col("overlap_frac") >= F.lit(float(min_overlap_frac)))
+        .select(id_col, eval_id_col, "n_overlap", "eval_sz", "overlap_frac")
+    )
+
+
+def drop_contaminated(
+    train: DataFrame,
+    report: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every training doc named by a decontamination report
+    (left-anti join on ``id_col`` — the report is small, so Spark
+    broadcasts it and the corpus again never shuffles)."""
+    from pyspark.sql.functions import broadcast
+
+    return train.join(
+        broadcast(report.select(id_col).distinct()), id_col, "left_anti"
+    )
+
+
+# -- repetition / Gopher-style quality signals ------------------------------
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher / MassiveText
+    repetition filters, Rae et al. 2021 §A1.1): documents dominated by
+    duplicate lines or a single token are boilerplate/spam and get
+    dropped before training.
+
+    Output per doc:
+      - ``n_lines``            lines after splitting on ``\\n``
+      - ``dup_line_frac``      fraction of lines whose text occurs more
+                               than once in the doc (all occurrences of
+                               a repeated line count)
+      - ``dup_line_char_frac`` same, weighted by line length in chars
+      - ``n_tokens``           whitespace tokens (lowercased, trimmed;
+                               empty tokens dropped)
+      - ``top_token_frac``     occurrences of the most frequent token /
+                               n_tokens (NULL when n_tokens = 0)
+
+    Scale design: two partial-aggregated shuffles — (doc, line) and
+    (doc, token) — then a per-doc fold; keys carry the doc id so hot
+    lines/tokens across docs cannot skew a single reducer.  No Python
+    anywhere."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_l")
+    )
+    per_line = lines.groupBy(id_col, "_l").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.length(F.col("_l")).cast("long").alias("_len"),
+    )
+    line_agg = per_line.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_lines"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)
+            ).cast("double")
+            / F.sum("_c").cast("double")
+        ).alias("dup_line_frac"),
+        F.when(
+            F.sum(F.col("_c") * F.col("_len")) > 0,
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_c") > 1, F.col("_c") * F.col("_len"))
+                ),
+                F.lit(0),
+            ).cast("double")
+            / F.sum(F.col("_c") * F.col("_len")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_t"),
+    ).where(F.col("_t") != "")
+    per_tok = toks.groupBy(id_col, "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    tok_agg = per_tok.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        (
+            F.max("_c").cast("double") / F.sum("_c").cast("double")
+        ).alias("top_token_frac"),
+    )
+    return line_agg.join(tok_agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        "top_token_frac",
+    )

@@ -152,3 +152,95 @@ def test_chunk_documents_full_coverage_property(spark):
     for a, b in zip(rows, rows[1:]):
         at, bt = a.chunk_text.split(" "), b.chunk_text.split(" ")
         assert at[-8:] == bt[:8] or len(at) < 32
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_decontamination_report_and_drop(spark):
+    from hermes_spark.functions.curation import (
+        decontamination_report,
+        drop_contaminated,
+    )
+
+    ev = _docs(spark, [(100, "the quick brown fox jumps high")])
+    tr = _docs(
+        spark,
+        [
+            # full copy of the eval doc: overlap_frac must be 1.0
+            (1, "the quick brown fox jumps high"),
+            # shares exactly one 3-gram ("quick brown fox")
+            (2, "a quick brown fox sat"),
+            # no shared 3-gram
+            (3, "completely different words here entirely"),
+            # case-insensitivity: shingles are lowercased
+            (4, "THE QUICK BROWN fox unrelated tail words"),
+        ],
+    )
+    rep = {
+        r.doc_id: r
+        for r in decontamination_report(tr, ev, n=3).collect()
+    }
+    assert set(rep) == {1, 2, 4}
+    # eval doc has 4 distinct 3-grams
+    assert rep[1].eval_sz == 4 and rep[1].n_overlap == 4
+    assert rep[1].overlap_frac == 1.0
+    assert rep[2].n_overlap == 1 and rep[2].overlap_frac == 0.25
+    assert rep[4].n_overlap == 2  # "the quick brown", "quick brown fox"
+
+    # threshold filters the report
+    strict = decontamination_report(tr, ev, n=3, min_overlap_frac=0.5).collect()
+    assert {r.doc_id for r in strict} == {1, 4}
+
+    survivors = drop_contaminated(
+        tr, decontamination_report(tr, ev, n=3, min_overlap_frac=0.5)
+    )
+    assert {r.doc_id for r in survivors.collect()} == {2, 3}
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The 100 TB property: the eval-shingle side of the probe join is
+    broadcast, so the corpus never shuffles for candidate generation."""
+    from hermes_spark.functions.curation import decontamination_report
+
+    ev = _docs(spark, [(100, "one two three four")])
+    tr = _docs(spark, [(1, "one two three five")])
+    plan = decontamination_report(tr, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# -- repetition stats -------------------------------------------------------
+
+def test_repetition_stats_known_fractions(spark):
+    from hermes_spark.functions.curation import repetition_stats
+
+    df = _docs(
+        spark,
+        [
+            # 4 lines, "dup" twice: dup_line_frac = 2/4;
+            # chars: dup=3*2=6 of 3+3+5+4=15
+            (1, "dup\ndup\nalpha\nbeta"),
+            (2, "no\nrepeats\nat all"),
+            # one line only
+            (3, "single line of text"),
+            # token repetition: 'x' 3 of 5 tokens
+            (4, "x x x y z"),
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].n_lines == 4 and out[1].dup_line_frac == 0.5
+    assert out[1].dup_line_char_frac == 6 / 15
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_line_char_frac == 0.0
+    assert out[3].n_lines == 1 and out[3].dup_line_frac == 0.0
+    assert out[4].n_tokens == 5 and out[4].top_token_frac == 3 / 5
+
+
+def test_repetition_stats_empty_and_whitespace(spark):
+    from hermes_spark.functions.curation import repetition_stats
+
+    df = _docs(spark, [(1, ""), (2, "   ")])
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # empty text is one empty line, zero tokens, NULL top_token_frac
+    assert out[1].n_lines == 1 and out[1].n_tokens == 0
+    assert out[1].top_token_frac is None
+    assert out[1].dup_line_char_frac == 0.0
+    assert out[2].n_tokens == 0
