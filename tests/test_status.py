@@ -33,16 +33,32 @@ def test_status_listener_and_ledger_fold(spark, tmp_work):
         # after processAllAvailable returns
         import time
 
+        # wait for the DATA batch's progress event specifically: under
+        # load an extra trailing empty trigger (0 input rows) can land
+        # after it and legitimately become "last_trigger"
+        def _data_progress():
+            evts = [
+                json.loads(l) for l in open(f"{tmp_work}/status.jsonl")
+            ]
+            hits = [
+                e
+                for e in evts
+                if e["event"] == "progress" and e["num_input_rows"] == 30
+            ]
+            return hits[-1] if hits else None
+
         for _ in range(50):
-            if st.listener.last_progress():
+            if _data_progress():
                 break
             time.sleep(0.2)
         s = st.status()
         assert s["applied"]["inserts"] == 30
         assert s["applied"]["commits"] >= 1
         lp = s["last_trigger"]
-        assert lp is not None and lp["num_input_rows"] == 30
-        assert lp["duration_ms"].get("triggerExecution", 0) > 0
+        assert lp is not None
+        dp = _data_progress()
+        assert dp is not None and dp["num_input_rows"] == 30
+        assert dp["duration_ms"].get("triggerExecution", 0) > 0
         assert s["sustained_rows_per_sec"] is None or s["sustained_rows_per_sec"] > 0
         # the JSONL audit file parses line-by-line and carries the
         # started + progress lifecycle
