@@ -1214,6 +1214,31 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, ["doc_id"], size=16, overlap=4)
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counting (text.py): GPT-2-family
+    pre-tokenizer regex in the Java∩RE2 subset, exercised against a
+    punctuation/contraction/number-rich suffix so every branch of the
+    alternation fires; reported next to the whitespace count the
+    simpler estimator gives.  The oracle replays the IDENTICAL regex
+    through DuckDB's RE2."""
+    from hermes_spark.functions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" it's 3.14, don't stop!")
+            ).otherwise(F.lit(" plain tail")),
+        ).alias("text"),
+    )
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (curation.py): the corpus is split
     deterministically into an "eval set" (doc_id % 29 == 0) and the
@@ -1311,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "mix_datasets": q_mix_datasets,
         "chunk_documents": q_chunk_documents,
+        "bpe_token_count": q_bpe_token_count,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -2003,6 +2029,22 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text
             FROM n, range(0, 64) r(j)
             WHERE j < n_chunks
+        """,
+        "bpe_token_count": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 2 = 0
+                                  THEN ' it''s 3.14, don''t stop!'
+                                  ELSE ' plain tail' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+                     AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS BIGINT) AS n_ws_tokens
+            FROM d
         """,
         "decontaminate": """
             WITH ev AS (

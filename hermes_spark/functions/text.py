@@ -182,3 +182,33 @@ def rolling_hash(texts: pd.Series) -> pd.Series:
         acc[order] = a_all
     acc[~valid] = 0
     return pd.Series(acc.astype(np.int64))
+
+
+# -- BPE-style pre-tokenization --------------------------------------------
+
+# GPT-2-family pre-tokenizer pattern, restricted to the Java-regex ∩
+# RE2 subset so the DuckDB contract oracle replays it byte-for-byte:
+# contraction suffixes, optionally-space-prefixed letter runs, digit
+# runs, and punctuation runs.  (The upstream pattern's trailing
+# whitespace lookahead `\s+(?!\S)` is dropped — RE2 has no lookahead —
+# which only affects how TRAILING whitespace would tokenize, and pure
+# whitespace runs are never counted as tokens here anyway.)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_pretokens(col: str | Column = "text") -> Column:
+    """Array of BPE-style pre-tokens (the unit a GPT-2/BPE vocabulary
+    merges within; splitting never crosses a pre-token boundary).
+    Unlike whitespace ``tokens`` this separates punctuation and digit
+    runs — "don't stop 3.14!" → [don, 't, _stop, _3, ., 14, !] —
+    which is the right unit for token-budget estimation.  Pure
+    JVM-side ``regexp_extract_all`` (group 0), no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """Pre-token count — a deterministic, engine-portable lower-bound
+    proxy for the BPE token budget (actual BPE merges only split
+    pre-tokens further, never join them)."""
+    return F.size(bpe_pretokens(col)).cast("long")

@@ -468,3 +468,34 @@ def test_multimodal_resize_and_frame_sampling(spark):
     # the fake-media table (no decodable payloads): only video ticks
     fake = sample_frames(synthetic_media(spark, 9), every_ms=1000)
     assert {r.kind for r in fake.collect()} <= {"video"}
+
+
+def test_bpe_pretokens_branches(spark):
+    from hermes_spark.functions.text import bpe_pretokens, bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "don't stop 3.14!"),
+            (2, "hello   world"),
+            (3, ""),
+            (4, None),
+            (5, "we're it's i'll you've I'm he'd"),
+        ],
+        "i int, text string",
+    )
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            bpe_pretokens("text").alias("t"),
+            bpe_token_count("text").alias("n"),
+        ).collect()
+    }
+    assert out[1].t == ["don", "'t", " stop", " 3", ".", "14", "!"]
+    # runs of whitespace never become tokens
+    assert out[2].t == ["hello", " world"] and out[2].n == 2
+    assert out[3].n == 0
+    assert out[4].t is None and out[4].n is None
+    # every contraction suffix branch fires
+    assert out[5].t.count("'s") == 1 and "'re" in out[5].t and "'ll" in out[5].t
+    assert "'ve" in out[5].t and "'m" in out[5].t and "'d" in out[5].t
