@@ -197,3 +197,93 @@ def test_pipeline_sliding_snapshots_over_change_stream(spark, stream_src, tmp_wo
     n_turns_total = changes.count()
     member_total = got.agg(F.sum("n_turns")).collect()[0][0] or 0
     assert member_total <= 2 * n_turns_total
+
+
+# -- streaming exact dedup --------------------------------------------------
+
+def test_stream_exact_dedup_matches_batch(spark, stream_src, tmp_work):
+    """stream_exact_dedup over the whole history in one pass keeps
+    exactly one row per distinct fingerprint — the same survivor SET
+    a batch exact-dedup computes — and the kept row is a real input
+    row for its fingerprint."""
+    from hermes_spark.functions.text import normalized_fingerprint
+    from hermes_spark.streaming.dedup import stream_exact_dedup
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    got = _run_stream(
+        spark,
+        stream_exact_dedup(stream, watermark="365 days"),
+        os.path.join(tmp_work, "ck_dedup"),
+    )
+
+    batch = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(stream_src)
+    bfp = batch.withColumn("_fp", normalized_fingerprint("text"))
+    n_distinct = bfp.select("_fp").distinct().count()
+    assert got.count() == n_distinct
+    gfp = got.withColumn("_fp", normalized_fingerprint("text"))
+    assert gfp.select("_fp").distinct().count() == n_distinct
+    # every kept row is an actual input row (first-arrival semantics
+    # can pick any copy, but never synthesizes)
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_exact_dedup_scoped_and_bounded_state(spark, tmp_work):
+    """Scoped dedup (extra_key=[conv_id]) suppresses only same-conv
+    copies; and a duplicate arriving AFTER the watermark horizon is
+    re-emitted on a checkpoint-resumed run (state was evicted) — the
+    bounded-state contract.  Parquet sink: file sinks support
+    checkpoint recovery (memory sinks don't)."""
+    import datetime as dt
+
+    from hermes_spark.streaming.dedup import stream_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows1 = [
+        ("a", 0, "user", "same text", None, t0),
+        ("b", 0, "user", "same text", None, t0 + dt.timedelta(seconds=1)),
+        ("a", 1, "user", "same text", None, t0 + dt.timedelta(seconds=2)),
+    ]
+    src = os.path.join(tmp_work, "dd_src")
+    out = os.path.join(tmp_work, "dd_out")
+    ck = os.path.join(tmp_work, "ck_dedup_scoped")
+    spark.createDataFrame(rows1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+        q = (
+            stream_exact_dedup(
+                stream, watermark="10 seconds", extra_key=["conv_id"]
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .option("path", out)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(out).collect()
+
+    got1 = run_once()
+    # same text in conv a twice -> one kept; conv b's copy kept too
+    assert sorted((r.conv_id, r.turn_idx) for r in got1) == [("a", 0), ("b", 0)]
+
+    # second batch: unrelated row 5 minutes on — advances the
+    # watermark to ~t0+5m−10s, which EVICTS the "same text" state
+    # (expiry is computed against the watermark at the NEXT batch)
+    rows2 = [("c", 0, "user", "other text", None, t0 + dt.timedelta(minutes=5))]
+    spark.createDataFrame(rows2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    # third batch: the conv-a duplicate again, long past the horizon —
+    # its state is gone, so it re-emits (bounded state, by design)
+    rows3 = [("a", 2, "user", "same text", None, t0 + dt.timedelta(minutes=10))]
+    spark.createDataFrame(rows3, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got3 = run_once()
+    assert ("a", 2) in {(r.conv_id, r.turn_idx) for r in got3}
