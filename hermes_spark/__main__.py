@@ -75,7 +75,13 @@ def _build_parser() -> argparse.ArgumentParser:
     mt.add_argument(
         "--mode", choices=("full", "incremental"), default="full")
 
-    for name in ("run", "status", "drain", "maintain"):
+    cu = _with_config(sub.add_parser(
+        "curate", help="run the declarative batch curation job"))
+    cu.add_argument(
+        "--output", default=None, metavar="PATH",
+        help="override curation.output (parquet directory)")
+
+    for name in ("run", "status", "drain", "maintain", "curate"):
         p = sub.choices[name]
         p.add_argument(
             "--master", default=None,
@@ -135,14 +141,19 @@ def main(argv=None, spark=None) -> int:
         return 2
 
     if args.verb == "validate":
-        print(json.dumps({
-            "ok": True,
-            "mode": cfg["pipeline"]["mode"],
-            "source": cfg["pipeline"]["source"],
-            "work_dir": cfg["pipeline"]["work_dir"],
-            "types": [t["name"] for t in (cfg.get("datamodel") or {}).get(
-                "types", [])],
-        }))
+        out = {"ok": True}
+        if cfg.get("pipeline"):
+            out.update({
+                "mode": cfg["pipeline"]["mode"],
+                "source": cfg["pipeline"]["source"],
+                "work_dir": cfg["pipeline"]["work_dir"],
+                "types": [t["name"] for t in (cfg.get("datamodel") or {}).get(
+                    "types", [])],
+            })
+        if cfg.get("curation"):
+            out["curation_steps"] = [
+                s["op"] for s in cfg["curation"]["steps"]]
+        print(json.dumps(out))
         return 0
 
     if spark is None:
@@ -150,6 +161,26 @@ def main(argv=None, spark=None) -> int:
 
         spark = build_session(
             app_name=f"hermes_spark.{args.verb}", master=args.master)
+
+    if args.verb == "curate":
+        if not cfg.get("curation"):
+            print("config error at hermes-spark.curation: this config "
+                  "declares no curation job", file=sys.stderr)
+            return 2
+        from hermes_spark.jobs import run_curation
+
+        try:
+            report = run_curation(spark, cfg, output=args.output)
+        except ConfigError as e:
+            print(f"config error at {e.path}: {e.message}", file=sys.stderr)
+            return 2
+        print(json.dumps(report))
+        return 0
+
+    if cfg.get("pipeline") is None:
+        print("config error at hermes-spark.pipeline: this verb needs a "
+              "pipeline: section", file=sys.stderr)
+        return 2
 
     from hermes_spark.config import build_pipeline
 

@@ -128,6 +128,10 @@ def _typed(node: Mapping, path: str, key: str, types, default=None, enum=None):
         raise ConfigError(f"{path}.{key}", f"expected an integer, got {v!r}")
     if types is str and not isinstance(v, str):
         raise ConfigError(f"{path}.{key}", f"expected a string, got {v!r}")
+    if isinstance(types, tuple) and (
+        isinstance(v, bool) or not isinstance(v, types)
+    ):
+        raise ConfigError(f"{path}.{key}", f"expected a number, got {v!r}")
     if enum is not None and v not in enum:
         raise ConfigError(f"{path}.{key}", f"must be one of {sorted(enum)}, got {v!r}")
     return v
@@ -228,9 +232,29 @@ def load_config(source) -> dict:
     doc = _require_mapping(doc, "<document>")
     _check_keys(doc, "<document>", {"hermes-spark"}, set())
     root = _require_mapping(doc["hermes-spark"], "hermes-spark")
-    _check_keys(root, "hermes-spark", {"pipeline"}, {"datamodel", "status"})
+    _check_keys(
+        root, "hermes-spark", set(),
+        {"pipeline", "datamodel", "status", "curation"},
+    )
+    if "pipeline" not in root and "curation" not in root:
+        raise ConfigError(
+            "hermes-spark", "declare pipeline: and/or curation:"
+        )
+    if "datamodel" in root and "pipeline" not in root:
+        raise ConfigError(
+            "hermes-spark.datamodel", "datamodel requires pipeline:"
+        )
 
     out: dict = {}
+    if "pipeline" not in root:
+        out["pipeline"] = None
+        out["curation"] = _load_curation(root["curation"])
+        if "status" in root:
+            raise ConfigError(
+                "hermes-spark.status",
+                "status reports on a pipeline — declare pipeline:",
+            )
+        return out
 
     # -- pipeline ----------------------------------------------------------
     p_path = "hermes-spark.pipeline"
@@ -427,6 +451,162 @@ def load_config(source) -> dict:
             "keep": keep,
         }
 
+    if "curation" in root:
+        out["curation"] = _load_curation(root["curation"])
+
+    return out
+
+
+# -- curation jobs ---------------------------------------------------------
+
+# op name -> (required keys, optional keys); "op" itself is implicit
+_CURATION_STEPS: dict[str, tuple[set, set]] = {
+    "pii_scrub": (set(), set()),
+    "exact_dedup": (set(), set()),
+    "near_dedup": (
+        set(), {"method", "threshold", "max_doc_freq", "n", "max_hamming"}
+    ),
+    "decontaminate": ({"eval"}, {"n", "min_overlap_frac"}),
+    "sample": ({"fraction"}, {"salt"}),
+    "quality_filter": (
+        set(),
+        {"min_tokens", "max_tokens", "max_dup_line_frac",
+         "max_top_token_frac", "min_distinct_ratio"},
+    ),
+    "chunk": (set(), {"size", "overlap"}),
+}
+
+_NEAR_DEDUP_METHODS = {"minhash", "simhash", "ngram"}
+
+
+def _load_curation(node: Any) -> dict:
+    """Validate the declarative curation-job section: an input corpus,
+    an ordered list of curation steps (each mapping onto one operator
+    from functions/curation.py / functions/dedup.py), and an optional
+    output path.  Same contract as the pipeline section: a meaningless
+    config fails at LOAD time with the dotted path named."""
+    c_path = "hermes-spark.curation"
+    cur = _require_mapping(node, c_path)
+    _check_keys(cur, c_path, {"input", "steps"}, {"id", "text", "output"})
+    out = {
+        "input": _typed(cur, c_path, "input", str),
+        "output": _typed(cur, c_path, "output", str),
+        "id": _typed(cur, c_path, "id", str, default="doc_id"),
+        "text": _typed(cur, c_path, "text", str, default="text"),
+    }
+    if out["input"] is None:
+        raise ConfigError(f"{c_path}.input", "expected a path string")
+    steps_node = cur["steps"]
+    if not isinstance(steps_node, list) or not steps_node:
+        raise ConfigError(f"{c_path}.steps", "expected a non-empty list")
+    steps: list[dict] = []
+    for i, s in enumerate(steps_node):
+        sp = f"{c_path}.steps[{i}]"
+        s = _require_mapping(s, sp)
+        if "op" not in s:
+            raise ConfigError(sp, "missing op:")
+        op = _typed(s, sp, "op", str, enum=set(_CURATION_STEPS))
+        required, optional = _CURATION_STEPS[op]
+        _check_keys(s, sp, {"op", *required}, optional)
+        step: dict = {"op": op}
+
+        if op == "near_dedup":
+            method = _typed(
+                s, sp, "method", str, default="minhash",
+                enum=_NEAR_DEDUP_METHODS,
+            )
+            step["method"] = method
+            step["n"] = _typed(s, sp, "n", int, default=3)
+            if step["n"] < 1:
+                raise ConfigError(f"{sp}.n", f"must be >= 1, got {step['n']}")
+            step["max_doc_freq"] = _typed(s, sp, "max_doc_freq", int)
+            if method == "simhash":
+                if "threshold" in s:
+                    raise ConfigError(
+                        f"{sp}.threshold",
+                        "simhash is Hamming-based — use max_hamming:",
+                    )
+                step["max_hamming"] = _typed(
+                    s, sp, "max_hamming", int, default=3
+                )
+                if step["max_hamming"] < 0:
+                    raise ConfigError(
+                        f"{sp}.max_hamming", "must be >= 0"
+                    )
+            else:
+                if "max_hamming" in s:
+                    raise ConfigError(
+                        f"{sp}.max_hamming",
+                        f"only meaningful with method: simhash, not {method}",
+                    )
+                step["threshold"] = _typed(
+                    s, sp, "threshold", (int, float), default=0.8
+                )
+                if not 0.0 < float(step["threshold"]) <= 1.0:
+                    raise ConfigError(
+                        f"{sp}.threshold",
+                        f"must be in (0, 1], got {step['threshold']}",
+                    )
+        elif op == "decontaminate":
+            step["eval"] = _typed(s, sp, "eval", str)
+            if step["eval"] is None:
+                raise ConfigError(f"{sp}.eval", "expected a path string")
+            step["n"] = _typed(s, sp, "n", int, default=3)
+            if step["n"] < 1:
+                raise ConfigError(f"{sp}.n", f"must be >= 1, got {step['n']}")
+            step["min_overlap_frac"] = float(
+                _typed(s, sp, "min_overlap_frac", (int, float), default=0.5)
+            )
+            if not 0.0 <= step["min_overlap_frac"] <= 1.0:
+                raise ConfigError(
+                    f"{sp}.min_overlap_frac", "must be in [0, 1]"
+                )
+        elif op == "sample":
+            step["fraction"] = float(
+                _typed(s, sp, "fraction", (int, float))
+            )
+            if not 0.0 <= step["fraction"] <= 1.0:
+                raise ConfigError(
+                    f"{sp}.fraction",
+                    f"must be in [0, 1], got {step['fraction']}",
+                )
+            step["salt"] = _typed(s, sp, "salt", str, default="")
+        elif op == "quality_filter":
+            bounds = {
+                k: s[k] for k in (
+                    "min_tokens", "max_tokens", "max_dup_line_frac",
+                    "max_top_token_frac", "min_distinct_ratio",
+                ) if k in s
+            }
+            if not bounds:
+                raise ConfigError(
+                    sp, "quality_filter with no bounds filters nothing — "
+                        "declare at least one",
+                )
+            for k, v in bounds.items():
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise ConfigError(f"{sp}.{k}", "expected a number")
+                if k.endswith(("_frac", "_ratio")) and not 0.0 <= v <= 1.0:
+                    raise ConfigError(f"{sp}.{k}", "must be in [0, 1]")
+                if k.endswith("_tokens") and v < 0:
+                    raise ConfigError(f"{sp}.{k}", "must be >= 0")
+            step["bounds"] = {k: float(v) for k, v in bounds.items()}
+        elif op == "chunk":
+            step["size"] = _typed(s, sp, "size", int, default=128)
+            step["overlap"] = _typed(s, sp, "overlap", int, default=32)
+            if not 0 <= step["overlap"] < step["size"]:
+                raise ConfigError(
+                    sp,
+                    f"need 0 <= overlap < size, got "
+                    f"{step['overlap']}/{step['size']}",
+                )
+            if i != len(steps_node) - 1:
+                raise ConfigError(
+                    sp, "chunk rewrites the row shape — it must be the "
+                        "last step",
+                )
+        steps.append(step)
+    out["steps"] = steps
     return out
 
 
@@ -628,6 +808,12 @@ def build_pipeline(spark: SparkSession, config, **overrides):
     from hermes_spark.streaming.pipeline import CdcPipeline
 
     cfg = load_config(config)
+    if cfg["pipeline"] is None:
+        raise ConfigError(
+            "hermes-spark.pipeline",
+            "this config declares only curation: — build the job with "
+            "hermes_spark.jobs.run_curation (CLI verb: curate)",
+        )
     pcfg = dict(cfg["pipeline"])
     for k, v in overrides.items():
         if k not in pcfg:

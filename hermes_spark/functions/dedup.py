@@ -39,15 +39,20 @@ def exact_dedup(
 # -- character shingles -----------------------------------------------------
 
 def char_shingles(col: str | Column, n: int = 5) -> Column:
-    """All length-n character substrings (with duplicates)."""
+    """All length-n character substrings (with duplicates).
+
+    Texts shorter than ``n`` yield an EMPTY array — the ``when`` guard
+    matters because ``sequence(1, 0)`` is the DESCENDING [1, 0], whose
+    0 then crashes substring/slice (found by the curation job's short
+    docs)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.expr(
-        f"transform(sequence(1, greatest(length({col}) - {n - 1}, 0)),"
-        f" i -> substring({col}, i, {n}))"
-    ) if isinstance(col, str) else F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
-        lambda i: c.substr(i, F.lit(n)),
-    )
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
@@ -59,10 +64,15 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     docs (the stopword-shingle join blowup)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # when-guard: sequence(1, 0) is the DESCENDING [1, 0] and its 0
+    # crashes slice — docs shorter than n tokens shingle to empty
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _distinct_shingles(

@@ -1,0 +1,238 @@
+"""Declarative batch curation jobs (config.py curation section +
+jobs.py builder + the `curate` CLI verb): the training-data half of
+the engine driven from one YAML document, the same no-code surface the
+reference gives its operators (hermes-server-config-example.yml)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hermes_spark.config import ConfigError, load_config
+from hermes_spark.jobs import build_curation, run_curation
+
+
+def _cfg(steps: str, extra: str = "") -> str:
+    return f"""
+hermes-spark:
+  curation:
+    input: /tmp/nonexistent-in-parse-only
+    {extra}
+    steps:
+{steps}
+"""
+
+
+def _load(steps: str, extra: str = "") -> dict:
+    return load_config(_cfg(steps, extra))
+
+
+# -- load-time validation ---------------------------------------------------
+
+def test_curation_config_paths_in_errors():
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: nope")
+    assert "steps[0].op" in e.value.path
+
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: sample")  # missing fraction
+    assert "steps[0]" in e.value.path
+
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: sample\n        fraction: 1.5")
+    assert "fraction" in e.value.path
+
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: quality_filter")
+    assert "filters nothing" in e.value.message
+
+    with pytest.raises(ConfigError) as e:
+        _load(
+            "      - op: near_dedup\n        method: simhash\n"
+            "        threshold: 0.8"
+        )
+    assert "max_hamming" in e.value.message
+
+    with pytest.raises(ConfigError) as e:
+        _load(
+            "      - op: near_dedup\n        max_hamming: 3"
+        )
+    assert "simhash" in e.value.message
+
+    # chunk anywhere but last is rejected
+    with pytest.raises(ConfigError) as e:
+        _load(
+            "      - op: chunk\n      - op: exact_dedup"
+        )
+    assert "last step" in e.value.message
+
+    # a curation-only config cannot declare status (hangs off pipeline)
+    with pytest.raises(ConfigError) as e:
+        load_config("""
+hermes-spark:
+  status: {path: /tmp/x}
+  curation:
+    input: /tmp/x
+    steps:
+      - op: exact_dedup
+""")
+    assert e.value.path == "hermes-spark.status"
+
+
+def test_curation_config_defaults_and_normalization():
+    cfg = _load(
+        "      - op: near_dedup\n"
+        "      - op: decontaminate\n"
+        "        eval: /tmp/eval.parquet\n"
+        "      - op: chunk",
+    )
+    steps = cfg["curation"]["steps"]
+    assert cfg["pipeline"] is None
+    assert steps[0] == {
+        "op": "near_dedup", "method": "minhash", "n": 3,
+        "max_doc_freq": None, "threshold": 0.8,
+    }
+    assert steps[1]["min_overlap_frac"] == 0.5 and steps[1]["n"] == 3
+    assert steps[2] == {"op": "chunk", "size": 128, "overlap": 32}
+    assert cfg["curation"]["id"] == "doc_id"
+    assert cfg["curation"]["text"] == "text"
+
+
+def test_pipeline_verbs_reject_curation_only_config(tmp_work):
+    from hermes_spark.config import build_pipeline
+
+    with pytest.raises(ConfigError) as e:
+        build_pipeline(None, _cfg("      - op: exact_dedup"))
+    assert "curation" in e.value.message
+
+
+# -- end-to-end -------------------------------------------------------------
+
+@pytest.fixture()
+def corpus(spark, tmp_work):
+    rows = [
+        # two exact copies (1 survives exact_dedup), one unique
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six seven eight nine ten"),
+        # leaks the eval doc verbatim
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        # low quality: dominated by one token
+        (5, "spam spam spam spam spam spam spam spam spam spam"),
+        # short (fails min_tokens)
+        (6, "tiny doc"),
+    ]
+    p = os.path.join(tmp_work, "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(p)
+    ev = os.path.join(tmp_work, "eval")
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(ev)
+    return p, ev
+
+
+def test_build_curation_composed_job(spark, tmp_work, corpus):
+    corpus_path, eval_path = corpus
+    cfg = load_config(f"""
+hermes-spark:
+  curation:
+    input: {corpus_path}
+    steps:
+      - op: exact_dedup
+      - op: decontaminate
+        eval: {eval_path}
+        min_overlap_frac: 0.5
+      - op: quality_filter
+        min_tokens: 5
+        max_top_token_frac: 0.5
+""")
+    got = build_curation(spark, cfg)
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    # 2 dropped (exact copy of 1), 4 dropped (contaminated),
+    # 5 dropped (top_token_frac 1.0), 6 dropped (2 tokens < 5)
+    assert ids == [1, 3]
+
+
+def test_run_curation_writes_and_reports(spark, tmp_work, corpus):
+    corpus_path, _ = corpus
+    out = os.path.join(tmp_work, "clean")
+    report = run_curation(spark, load_config(f"""
+hermes-spark:
+  curation:
+    input: {corpus_path}
+    output: {out}
+    steps:
+      - op: exact_dedup
+      - op: chunk
+        size: 4
+        overlap: 1
+"""))
+    assert report["rows_out"] > 0
+    assert report["steps"] == ["exact_dedup", "chunk"]
+    back = spark.read.parquet(out)
+    assert {"doc_id", "chunk_idx", "chunk_text"} <= set(back.columns)
+    assert back.count() == report["rows_out"]
+    # doc 3 has 10 tokens, stride 3 -> ceil(9/3) = 3 chunks
+    assert back.where("doc_id = 3").count() == 3
+
+
+def test_curation_near_dedup_methods(spark, corpus):
+    corpus_path, _ = corpus
+    for method, knob in (
+        ("minhash", "threshold: 0.8"),
+        ("ngram", "threshold: 0.8"),
+        ("simhash", "max_hamming: 3"),
+    ):
+        got = build_curation(spark, load_config(f"""
+hermes-spark:
+  curation:
+    input: {corpus_path}
+    steps:
+      - op: near_dedup
+        method: {method}
+        {knob}
+"""))
+        ids = {r.doc_id for r in got.select("doc_id").collect()}
+        # the exact copy pair (1,2): 2 must be dropped, 1 kept
+        assert 1 in ids and 2 not in ids, method
+
+
+def test_cli_curate_verb(spark, tmp_work, corpus):
+    from hermes_spark.__main__ import main
+
+    corpus_path, _ = corpus
+    cfg_path = os.path.join(tmp_work, "curate.yml")
+    out = os.path.join(tmp_work, "cli_out")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+hermes-spark:
+  curation:
+    input: {corpus_path}
+    steps:
+      - op: exact_dedup
+      - op: sample
+        fraction: 1.0
+""")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["curate", cfg_path, "--output", out], spark=spark)
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows_out"] == 5 and rep["output"] == out
+    assert spark.read.parquet(out).count() == 5
+
+    # pipeline verbs on a curation-only config fail loudly
+    import contextlib
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc2 = main(["status", cfg_path], spark=spark)
+    assert rc2 == 2 and "pipeline" in err.getvalue()
