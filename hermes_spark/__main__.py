@@ -156,6 +156,17 @@ def main(argv=None, spark=None) -> int:
         print(json.dumps(out))
         return 0
 
+    # verb/config shape checks BEFORE the session build — a pure
+    # config error must not pay JVM startup
+    if args.verb == "curate" and not cfg.get("curation"):
+        print("config error at hermes-spark.curation: this config "
+              "declares no curation job", file=sys.stderr)
+        return 2
+    if args.verb != "curate" and cfg.get("pipeline") is None:
+        print("config error at hermes-spark.pipeline: this verb needs a "
+              "pipeline: section", file=sys.stderr)
+        return 2
+
     if spark is None:
         from hermes_spark.session import build_session
 
@@ -163,10 +174,6 @@ def main(argv=None, spark=None) -> int:
             app_name=f"hermes_spark.{args.verb}", master=args.master)
 
     if args.verb == "curate":
-        if not cfg.get("curation"):
-            print("config error at hermes-spark.curation: this config "
-                  "declares no curation job", file=sys.stderr)
-            return 2
         from hermes_spark.jobs import run_curation
 
         try:
@@ -176,11 +183,6 @@ def main(argv=None, spark=None) -> int:
             return 2
         print(json.dumps(report))
         return 0
-
-    if cfg.get("pipeline") is None:
-        print("config error at hermes-spark.pipeline: this verb needs a "
-              "pipeline: section", file=sys.stderr)
-        return 2
 
     from hermes_spark.config import build_pipeline
 

@@ -520,6 +520,13 @@ def _load_curation(node: Any) -> dict:
             if step["n"] < 1:
                 raise ConfigError(f"{sp}.n", f"must be >= 1, got {step['n']}")
             step["max_doc_freq"] = _typed(s, sp, "max_doc_freq", int)
+            if step["max_doc_freq"] is not None and step["max_doc_freq"] < 1:
+                # <= 0 would drop EVERY shingle and silently turn the
+                # whole dedup step into a no-op
+                raise ConfigError(
+                    f"{sp}.max_doc_freq",
+                    f"must be >= 1, got {step['max_doc_freq']}",
+                )
             if method == "simhash":
                 if "threshold" in s:
                     raise ConfigError(

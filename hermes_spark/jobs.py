@@ -50,6 +50,24 @@ from pyspark.sql import functions as F
 from hermes_spark.config import ConfigError, load_config
 
 
+def _read_corpus(spark: SparkSession, path: str, cfg_path: str) -> DataFrame:
+    """Read a declared parquet input, mapping an unreadable/missing
+    path onto the surface's standard dotted-path ConfigError (the CLI
+    only catches ConfigError — a raw AnalysisException traceback is
+    not the contract)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        from pyspark.errors.exceptions.base import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            raise ConfigError(
+                cfg_path, f"cannot read parquet at {path!r}: "
+                f"{str(e).splitlines()[0]}"
+            ) from e
+        raise
+
+
 def _drop_pair_losers(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Keep-smallest greedy dedup: drop every doc that appears as the
     LARGER member of a near-dup pair (pair frames emit doc_a < doc_b)."""
@@ -74,7 +92,9 @@ def build_curation(
             "hermes-spark.curation", "this config declares no curation job"
         )
     id_col, text_col = cur["id"], cur["text"]
-    df = input_df if input_df is not None else spark.read.parquet(cur["input"])
+    df = input_df if input_df is not None else _read_corpus(
+        spark, cur["input"], "hermes-spark.curation.input"
+    )
     for col in (id_col, text_col):
         if col not in df.columns:
             raise ConfigError(
@@ -132,7 +152,7 @@ def build_curation(
                 drop_contaminated,
             )
 
-            eval_df = spark.read.parquet(step["eval"])
+            eval_df = _read_corpus(spark, step["eval"], f"{sp}.eval")
             if text_col not in eval_df.columns:
                 raise ConfigError(
                     f"{sp}.eval",
@@ -156,31 +176,29 @@ def build_curation(
             )
         elif op == "quality_filter":
             from hermes_spark.functions.curation import repetition_stats
-            from hermes_spark.functions.text import quality_features
+            from hermes_spark.functions.text import (
+                distinct_token_count,
+                token_count,
+            )
 
             b = step["bounds"]
             need_rep = (
                 "max_dup_line_frac" in b or "max_top_token_frac" in b
             )
-            need_q = (
-                "min_tokens" in b or "max_tokens" in b
-                or "min_distinct_ratio" in b
-            )
             conds = []
-            if need_q:
-                q = quality_features(
-                    df.select(id_col, text_col), text_col
-                ).select(
-                    F.col(id_col), F.col("n_tokens").alias("_qn"),
-                    F.col("distinct_ratio").alias("_qd"),
+            # token/distinct bounds are pure per-row expressions (the
+            # same math quality_features exposes) — no join, no shuffle
+            n_tok = token_count(text_col)
+            if "min_tokens" in b:
+                conds.append(n_tok >= b["min_tokens"])
+            if "max_tokens" in b:
+                conds.append(n_tok <= b["max_tokens"])
+            if "min_distinct_ratio" in b:
+                conds.append(
+                    distinct_token_count(text_col).cast("double")
+                    / n_tok.cast("double")
+                    >= b["min_distinct_ratio"]
                 )
-                df = df.join(q, id_col, "left")
-                if "min_tokens" in b:
-                    conds.append(F.col("_qn") >= b["min_tokens"])
-                if "max_tokens" in b:
-                    conds.append(F.col("_qn") <= b["max_tokens"])
-                if "min_distinct_ratio" in b:
-                    conds.append(F.col("_qd") >= b["min_distinct_ratio"])
             if need_rep:
                 r = repetition_stats(
                     df.select(id_col, text_col), id_col, text_col
@@ -204,7 +222,7 @@ def build_curation(
             cond = conds[0]
             for c in conds[1:]:
                 cond = cond & c
-            df = df.where(cond).drop("_qn", "_qd", "_rd", "_rt")
+            df = df.where(cond).drop("_rd", "_rt")
         elif op == "chunk":
             from hermes_spark.functions.curation import chunk_documents
 

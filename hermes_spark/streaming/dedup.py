@@ -42,13 +42,25 @@ def stream_exact_dedup(
     (any deterministic Column).  The watermark bounds both lateness
     handling and state retention — a duplicate arriving later than the
     watermark delay after its twin is NOT suppressed (its state was
-    evicted), which is the documented, bounded-state contract."""
+    evicted), which is the documented, bounded-state contract.
+
+    Rows whose fingerprint is NULL (e.g. text-less tool/metadata
+    events under the default content hash) pass through UNDEDUPED —
+    they are not copies of each other, and keying them together would
+    silently drop all but the first per horizon."""
+    if "_fp" in stream.columns:
+        raise ValueError(
+            "input already has a column named _fp — rename it or pass "
+            "fingerprint= explicitly over a different working column"
+        )
     fp = (
         fingerprint
         if fingerprint is not None
         else normalized_fingerprint(text_col)
     )
     keyed = stream.withColumn("_fp", fp).withWatermark(ts_col, watermark)
-    return keyed.dropDuplicatesWithinWatermark(
+    deduped = keyed.where(F.col("_fp").isNotNull()).dropDuplicatesWithinWatermark(
         ["_fp", *(extra_key or [])]
-    ).drop("_fp")
+    )
+    passthrough = keyed.where(F.col("_fp").isNull())
+    return deduped.unionByName(passthrough).drop("_fp")

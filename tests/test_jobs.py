@@ -236,3 +236,23 @@ hermes-spark:
     with contextlib.redirect_stderr(err):
         rc2 = main(["status", cfg_path], spark=spark)
     assert rc2 == 2 and "pipeline" in err.getvalue()
+
+
+def test_near_dedup_max_doc_freq_zero_rejected():
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: near_dedup\n        max_doc_freq: 0")
+    assert "max_doc_freq" in e.value.path
+
+
+def test_curate_unreadable_input_is_config_error(spark, tmp_work):
+    cfg = load_config(f"""
+hermes-spark:
+  curation:
+    input: {tmp_work}/does-not-exist
+    steps:
+      - op: exact_dedup
+""")
+    with pytest.raises(ConfigError) as e:
+        build_curation(spark, cfg).count()
+    assert e.value.path == "hermes-spark.curation.input"
+    assert "cannot read parquet" in e.value.message

@@ -287,3 +287,37 @@ def test_stream_exact_dedup_scoped_and_bounded_state(spark, tmp_work):
     ).parquet(src)
     got3 = run_once()
     assert ("a", 2) in {(r.conv_id, r.turn_idx) for r in got3}
+
+
+def test_stream_exact_dedup_null_text_passes_through(spark, tmp_work):
+    """NULL-fingerprint rows (text-less events) are NOT keyed together
+    — each passes through; and a pre-existing _fp column is rejected."""
+    import datetime as dt
+
+    from hermes_spark.streaming.dedup import stream_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("a", 0, "tool", None, "search", t0),
+        ("b", 0, "tool", None, "fetch", t0 + dt.timedelta(seconds=1)),
+        ("c", 0, "user", "real text", None, t0 + dt.timedelta(seconds=2)),
+        ("d", 0, "user", "real text", None, t0 + dt.timedelta(seconds=3)),
+    ]
+    src = os.path.join(tmp_work, "nulldd_src")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    got = _run_stream(
+        spark,
+        stream_exact_dedup(stream, watermark="1 hour"),
+        os.path.join(tmp_work, "ck_nulldd"),
+    ).collect()
+    kept = sorted(r.conv_id for r in got)
+    # both NULL-text rows kept; one of the two identical texts kept
+    assert "a" in kept and "b" in kept and len(kept) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_fp"):
+        stream_exact_dedup(stream.withColumn("_fp", F.lit("x")))
