@@ -464,7 +464,8 @@ _CURATION_STEPS: dict[str, tuple[set, set]] = {
     "pii_scrub": (set(), set()),
     "exact_dedup": (set(), set()),
     "near_dedup": (
-        set(), {"method", "threshold", "max_doc_freq", "n", "max_hamming"}
+        set(),
+        {"method", "threshold", "max_doc_freq", "n", "max_hamming", "store"},
     ),
     "decontaminate": ({"eval"}, {"n", "min_overlap_frac"}),
     "sample": ({"fraction"}, {"salt"}),
@@ -519,6 +520,12 @@ def _load_curation(node: Any) -> dict:
             step["n"] = _typed(s, sp, "n", int, default=3)
             if step["n"] < 1:
                 raise ConfigError(f"{sp}.n", f"must be >= 1, got {step['n']}")
+            step["store"] = _typed(s, sp, "store", str)
+            if step["store"] is not None and method != "minhash":
+                raise ConfigError(
+                    f"{sp}.store",
+                    "the incremental signature store is minhash-only",
+                )
             step["max_doc_freq"] = _typed(s, sp, "max_doc_freq", int)
             if step["max_doc_freq"] is not None and step["max_doc_freq"] < 1:
                 # <= 0 would drop EVERY shingle and silently turn the

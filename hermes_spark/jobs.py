@@ -116,6 +116,23 @@ def build_curation(
             df = df.join(survivors, id_col, "left_semi")
         elif op == "near_dedup":
             method = step["method"]
+            if step.get("store"):
+                # incremental path: dedup this corpus against the
+                # persisted signature store AND within itself, then
+                # append survivors' signatures.  A materialization
+                # barrier (the store commit needs the drop decision),
+                # unlike every other step — documented in incremental.py
+                from hermes_spark.functions.incremental import (
+                    incremental_minhash_dedup,
+                )
+
+                df = incremental_minhash_dedup(
+                    spark, df, step["store"], id_col=id_col,
+                    text_col=text_col, n=step["n"],
+                    threshold=step["threshold"],
+                    max_doc_freq=step["max_doc_freq"],
+                )
+                continue
             if method == "minhash":
                 from hermes_spark.functions.dedup import minhash_dedup_pairs
 

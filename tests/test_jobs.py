@@ -92,7 +92,7 @@ def test_curation_config_defaults_and_normalization():
     assert cfg["pipeline"] is None
     assert steps[0] == {
         "op": "near_dedup", "method": "minhash", "n": 3,
-        "max_doc_freq": None, "threshold": 0.8,
+        "max_doc_freq": None, "threshold": 0.8, "store": None,
     }
     assert steps[1]["min_overlap_frac"] == 0.5 and steps[1]["n"] == 3
     assert steps[2] == {"op": "chunk", "size": 128, "overlap": 32}
@@ -256,3 +256,45 @@ hermes-spark:
         build_curation(spark, cfg).count()
     assert e.value.path == "hermes-spark.curation.input"
     assert "cannot read parquet" in e.value.message
+
+
+def test_near_dedup_store_is_minhash_only():
+    with pytest.raises(ConfigError) as e:
+        _load(
+            "      - op: near_dedup\n        method: simhash\n"
+            "        store: /tmp/sigs"
+        )
+    assert "minhash-only" in e.value.message
+
+
+def test_declarative_incremental_near_dedup(spark, tmp_work, corpus):
+    """Two curate runs over different batches share one signature
+    store: the second batch's copy of a first-batch doc is dropped."""
+    corpus_path, _ = corpus
+    store = os.path.join(tmp_work, "sigs")
+
+    def cfg_for(path):
+        return load_config(f"""
+hermes-spark:
+  curation:
+    input: {path}
+    steps:
+      - op: near_dedup
+        store: {store}
+        threshold: 0.8
+""")
+
+    got1 = build_curation(spark, cfg_for(corpus_path))
+    ids1 = sorted(r.doc_id for r in got1.select("doc_id").collect())
+    assert 1 in ids1 and 2 not in ids1  # in-batch exact pair deduped
+
+    # second batch: re-sends doc 1's text under a new id + a fresh doc
+    b2 = os.path.join(tmp_work, "batch2")
+    spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta"),
+         (21, "genuinely new content that matches nothing before")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(b2)
+    got2 = build_curation(spark, cfg_for(b2))
+    ids2 = sorted(r.doc_id for r in got2.select("doc_id").collect())
+    assert ids2 == [21]
