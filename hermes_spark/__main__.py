@@ -80,6 +80,17 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--output", default=None, metavar="PATH",
         help="override curation.output (parquet directory)")
+    cu.add_argument(
+        "--stream", action="store_true",
+        help="run as a continuous stream over curation.input into the "
+             "curated table under curation.work_dir (exactly-once, "
+             "checkpoint-resumable)")
+    cu.add_argument(
+        "--once", action="store_true",
+        help="with --stream: process everything available, then stop")
+    cu.add_argument(
+        "--timeout", type=float, default=None, metavar="SEC",
+        help="with --stream: stop after SEC seconds")
 
     for name in ("run", "status", "drain", "maintain", "curate"):
         p = sub.choices[name]
@@ -174,9 +185,32 @@ def main(argv=None, spark=None) -> int:
             app_name=f"hermes_spark.{args.verb}", master=args.master)
 
     if args.verb == "curate":
-        from hermes_spark.jobs import run_curation
-
         try:
+            if args.stream:
+                from hermes_spark.streaming.curation import (
+                    curated_table,
+                    start_curation_stream,
+                )
+
+                q = start_curation_stream(spark, cfg, run_once=args.once)
+                if q is not None:
+                    try:
+                        if args.timeout is not None:
+                            q.awaitTermination(args.timeout)
+                        else:
+                            q.awaitTermination()
+                    except KeyboardInterrupt:
+                        pass  # pause: checkpointed, rerun resumes
+                    finally:
+                        q.stop()
+                t = curated_table(spark, cfg)
+                print(json.dumps({
+                    "rows_curated": t.read().count(),
+                    "target_version": t.current_version(),
+                }))
+                return 0
+            from hermes_spark.jobs import run_curation
+
             report = run_curation(spark, cfg, output=args.output)
         except ConfigError as e:
             print(f"config error at {e.path}: {e.message}", file=sys.stderr)

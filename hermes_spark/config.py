@@ -488,13 +488,29 @@ def _load_curation(node: Any) -> dict:
     config fails at LOAD time with the dotted path named."""
     c_path = "hermes-spark.curation"
     cur = _require_mapping(node, c_path)
-    _check_keys(cur, c_path, {"input", "steps"}, {"id", "text", "output"})
+    _check_keys(
+        cur, c_path, {"input", "steps"},
+        {"id", "text", "output", "work_dir", "max_files_per_trigger"},
+    )
     out = {
         "input": _typed(cur, c_path, "input", str),
         "output": _typed(cur, c_path, "output", str),
         "id": _typed(cur, c_path, "id", str, default="doc_id"),
         "text": _typed(cur, c_path, "text", str, default="text"),
+        # stream mode (curate --stream): target table + checkpoint root
+        "work_dir": _typed(cur, c_path, "work_dir", str),
+        "max_files_per_trigger": _typed(
+            cur, c_path, "max_files_per_trigger", int
+        ),
     }
+    if (
+        out["max_files_per_trigger"] is not None
+        and out["max_files_per_trigger"] < 1
+    ):
+        raise ConfigError(
+            f"{c_path}.max_files_per_trigger",
+            f"must be >= 1, got {out['max_files_per_trigger']}",
+        )
     if out["input"] is None:
         raise ConfigError(f"{c_path}.input", "expected a path string")
     steps_node = cur["steps"]

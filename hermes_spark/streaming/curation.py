@@ -1,0 +1,155 @@
+"""Streaming curation: the declarative curation job over a LIVE
+document stream, exactly-once into a curated target table.
+
+The batch `curate` verb re-runs the whole corpus; this runs the SAME
+YAML step list inside ``foreachBatch`` as documents arrive:
+
+- per-row steps (pii_scrub, quality_filter, sample, chunk,
+  decontaminate-vs-fixed-eval) apply to each micro-batch unchanged —
+  they are row-local, so batch scope loses nothing;
+- dedup steps are BATCH-SCOPED unless backed by the persisted
+  signature store: declare ``near_dedup`` with ``store:`` to dedup
+  across the whole stream history (first arrival wins, the
+  incremental.py contract).  Exact cross-batch dedup is the same
+  store at ``threshold: 1.0`` — identical texts have identical
+  signatures;
+- the curated output lands in a :class:`ParquetMergeTable` via
+  idempotent MERGE keyed on the doc id (or (id, chunk_idx) after a
+  chunk step) under the micro-batch id — a replayed batch after a
+  crash re-merges as a no-op, and the signature-store commits inside
+  the batch are content-stable, so BOTH stores converge: effectively
+  exactly-once end to end, the same discipline as the CDC sink.
+
+Resume is the stock checkpoint contract: stop the stream, run the
+same config again, offsets and both tables pick up where they were.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hermes_spark.config import ConfigError, load_config
+
+
+def _target_key(cur: dict) -> list[str]:
+    key = [cur["id"]]
+    if cur["steps"] and cur["steps"][-1]["op"] == "chunk":
+        key.append("chunk_idx")
+    return key
+
+
+def _schemas(spark: SparkSession, cur: dict):
+    """(input schema, output schema) for the stream — derived once
+    against an empty frame: analysis only, no store side effects
+    (dedup steps never change the schema, so the probe skips them)."""
+    from hermes_spark.jobs import build_curation
+
+    try:
+        in_schema = spark.read.parquet(cur["input"]).schema
+    except Exception as e:
+        raise ConfigError(
+            "hermes-spark.curation.input",
+            f"cannot infer the stream schema — write at least one "
+            f"parquet file first ({str(e).splitlines()[0]})",
+        ) from e
+    probe_cfg = {
+        "curation": {
+            **cur,
+            "steps": [
+                s for s in cur["steps"]
+                if s["op"] not in ("exact_dedup", "near_dedup")
+            ] or [{"op": "sample", "fraction": 1.0, "salt": ""}],
+        }
+    }
+    out_schema = build_curation(
+        spark, probe_cfg, input_df=spark.createDataFrame([], in_schema)
+    ).schema
+    return in_schema, out_schema
+
+
+def _open_target(spark: SparkSession, cur: dict, out_schema):
+    from hermes_spark.tables import ParquetMergeTable
+
+    return ParquetMergeTable(
+        spark,
+        os.path.join(cur["work_dir"], "curated"),
+        key=_target_key(cur),
+        schema=out_schema,
+        compact_every=8,
+    )
+
+
+def start_curation_stream(
+    spark: SparkSession,
+    config,
+    timeout: float | None = None,
+    run_once: bool = False,
+):
+    """Start (or resume) the curation stream; returns the
+    StreamingQuery (``run_once=True`` processes what's available,
+    stops, and returns None).  Layout under ``curation.work_dir``:
+    ``curated/`` (the target table), ``checkpoint/``."""
+    from hermes_spark.jobs import build_curation
+
+    cfg = config if isinstance(config, dict) and "curation" in config \
+        else load_config(config)
+    cur = cfg.get("curation")
+    if cur is None:
+        raise ConfigError(
+            "hermes-spark.curation", "this config declares no curation job"
+        )
+    if not cur.get("work_dir"):
+        raise ConfigError(
+            "hermes-spark.curation.work_dir",
+            "streaming curation needs work_dir: for the target table "
+            "and checkpoint",
+        )
+
+    in_schema, out_schema = _schemas(spark, cur)
+    target = _open_target(spark, cur, out_schema)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = build_curation(spark, cfg, input_df=batch_df)
+        from pyspark.sql import functions as F
+
+        target.merge(
+            out.withColumn("op", F.lit("insert")),
+            batch_id=f"curation-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(in_schema)
+    if cur.get("max_files_per_trigger"):
+        reader = reader.option(
+            "maxFilesPerTrigger", cur["max_files_per_trigger"]
+        )
+    q = (
+        reader.parquet(cur["input"])
+        .writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation", os.path.join(cur["work_dir"], "checkpoint")
+        )
+        .start()
+    )
+    if run_once:
+        q.processAllAvailable()
+        q.stop()
+        return None
+    if timeout is not None:
+        q.awaitTermination(timeout)
+    return q
+
+
+def curated_table(spark: SparkSession, config):
+    """Open the stream's curated target for reading (same schema
+    derivation as the running stream — needs the input dir present)."""
+    cfg = config if isinstance(config, dict) and "curation" in config \
+        else load_config(config)
+    cur = cfg["curation"]
+    if not cur.get("work_dir"):
+        raise ConfigError(
+            "hermes-spark.curation.work_dir", "streaming curation only"
+        )
+    _, out_schema = _schemas(spark, cur)
+    return _open_target(spark, cur, out_schema)
