@@ -53,9 +53,10 @@ def signature_store(
     )
     return ParquetMergeTable(
         spark, path, key=[id_field.name], schema=schema,
-        # signatures never update or delete — keep compaction
-        # out-of-band (maintain() on the returned table if ever needed)
-        compact_every=None,
+        # signatures never update or delete, but every batch READS the
+        # store — without periodic compaction the read would fold one
+        # delta per past batch (read amplification ∝ stream age)
+        compact_every=16,
     )
 
 
