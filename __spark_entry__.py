@@ -1214,6 +1214,27 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, ["doc_id"], size=16, overlap=4)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (curation.py): chunk the corpus 16/4 then
+    pack chunks into capacity-64 training sequences across 8 shards
+    (pack_id = floor(start-offset/capacity) within the (doc_id,
+    chunk_idx) shard order).  The oracle replays the identical window
+    cumsum in DuckDB — wrong ordering, shard function, or boundary
+    semantics all shift pack ids."""
+    from hermes_spark.functions.curation import chunk_documents, pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("text"),
+    )
+    chunks = chunk_documents(d, ["doc_id"], size=16, overlap=4)
+    return pack_sequences(
+        chunks, ["doc_id", "chunk_idx"], capacity=64, n_shards=8
+    ).select(
+        "doc_id", "chunk_idx", "shard", "n_tokens", "pack_id", "pack_pos"
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-token counting (text.py): GPT-2-family
     pre-tokenizer regex in the Java∩RE2 subset, exercised against a
@@ -1337,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_datasets": q_mix_datasets,
         "chunk_documents": q_chunk_documents,
         "bpe_token_count": q_bpe_token_count,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -2045,6 +2067,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
                      AS BIGINT) AS n_ws_tokens
             FROM d
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, string_split(t, ' ') AS toks
+              FROM d WHERE t <> ''
+            ), n AS (
+              SELECT doc_id, toks,
+                     CAST(ceil(greatest(len(toks) - 4, 1) / 12.0) AS INT)
+                       AS n_chunks
+              FROM tok
+            ), chunks AS (
+              SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+                     list_slice(toks, j*12 + 1, j*12 + 16) AS ctoks
+              FROM n, range(0, 64) r(j)
+              WHERE j < n_chunks
+            ), c2 AS (
+              SELECT doc_id, chunk_idx,
+                     CAST(doc_id % 8 AS INT) AS shard,
+                     CAST(len(ctoks) AS BIGINT) AS n_tokens
+              FROM chunks
+            ), c3 AS (
+              SELECT *,
+                     CAST(floor(
+                       (sum(n_tokens) OVER (
+                          PARTITION BY shard
+                          ORDER BY doc_id, chunk_idx
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 64.0
+                     ) AS BIGINT) AS pack_id
+              FROM c2
+            )
+            SELECT doc_id, chunk_idx, shard, n_tokens, pack_id,
+                   CAST(row_number() OVER (
+                      PARTITION BY shard, pack_id
+                      ORDER BY doc_id, chunk_idx) - 1 AS INT) AS pack_pos
+            FROM c3
         """,
         "decontaminate": """
             WITH ev AS (

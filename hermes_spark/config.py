@@ -475,6 +475,7 @@ _CURATION_STEPS: dict[str, tuple[set, set]] = {
          "max_top_token_frac", "min_distinct_ratio"},
     ),
     "chunk": (set(), {"size", "overlap"}),
+    "pack": (set(), {"capacity", "shards"}),
 }
 
 _NEAR_DEDUP_METHODS = {"minhash", "simhash", "ngram"}
@@ -630,10 +631,29 @@ def _load_curation(node: Any) -> dict:
                     f"need 0 <= overlap < size, got "
                     f"{step['overlap']}/{step['size']}",
                 )
+            followers = [
+                _require_mapping(x, sp).get("op")
+                for x in steps_node[i + 1:]
+            ]
+            if any(f != "pack" for f in followers):
+                raise ConfigError(
+                    sp, "chunk rewrites the row shape — only pack may "
+                        "follow it",
+                )
+        elif op == "pack":
+            step["capacity"] = _typed(s, sp, "capacity", int, default=1024)
+            if step["capacity"] < 1:
+                raise ConfigError(
+                    f"{sp}.capacity", f"must be >= 1, got {step['capacity']}"
+                )
+            step["shards"] = _typed(s, sp, "shards", int, default=64)
+            if step["shards"] < 1:
+                raise ConfigError(
+                    f"{sp}.shards", f"must be >= 1, got {step['shards']}"
+                )
             if i != len(steps_node) - 1:
                 raise ConfigError(
-                    sp, "chunk rewrites the row shape — it must be the "
-                        "last step",
+                    sp, "pack must be the last step"
                 )
         steps.append(step)
     out["steps"] = steps

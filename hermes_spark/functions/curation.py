@@ -332,3 +332,63 @@ def repetition_stats(
         F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
         "top_token_frac",
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    text_col: str = "chunk_text",
+    capacity: int = 1024,
+    n_shards: int = 64,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Assign rows (chunks) to fixed-capacity training sequences
+    ("packs") — the sequence-packing step between chunking and
+    batching: consecutive chunks fill a pack until the next one would
+    START past ``capacity`` tokens.
+
+    Determinism + scale: a global greedy first-fit is inherently
+    sequential, so packing is SHARDED — rows land in ``n_shards``
+    buckets (default ``pmod(first order col, n_shards)``, replayable
+    cross-engine; override with ``shard_col``) and packs never cross
+    shards.  Within a shard the window cumsum over ``order_cols``
+    (which must be a unique ordering) places each row at a start
+    offset; ``pack_id = floor(start / capacity)``.  Start-offset
+    semantics: a row straddling the boundary stays WHOLE in its pack,
+    so a pack may exceed ``capacity`` by less than its last row's
+    length — the standard no-split packing trade-off, documented
+    rather than hidden.  Output adds (shard, pack_id, pack_pos,
+    n_tokens); one shuffle, keyed by shard."""
+    from pyspark.sql import Window
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if not order_cols:
+        raise ValueError("order_cols must name a unique ordering")
+    from hermes_spark.functions.text import token_count
+
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.col(order_cols[0]).cast("long"), F.lit(n_shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn(
+            "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("_start") / capacity).cast("long")
+        )
+    )
+    wp = Window.partitionBy("shard", "pack_id").orderBy(*order_cols)
+    return (
+        out.withColumn("pack_pos", F.row_number().over(wp) - 1)
+        .drop("_start")
+    )

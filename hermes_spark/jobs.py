@@ -252,6 +252,17 @@ def build_curation(
                 keep, text_col,
                 size=step["size"], overlap=step["overlap"],
             )
+        elif op == "pack":
+            from hermes_spark.functions.curation import pack_sequences
+
+            chunked = i > 0 and cur["steps"][i - 1]["op"] == "chunk"
+            df = pack_sequences(
+                df,
+                [id_col, "chunk_idx"] if chunked else [id_col],
+                text_col="chunk_text" if chunked else text_col,
+                capacity=step["capacity"],
+                n_shards=step["shards"],
+            )
         else:  # pragma: no cover — load_config enums the ops
             raise ConfigError(sp, f"unhandled op {op!r}")
     return df

@@ -35,7 +35,7 @@ from hermes_spark.config import ConfigError, load_config
 
 def _target_key(cur: dict) -> list[str]:
     key = [cur["id"]]
-    if cur["steps"] and cur["steps"][-1]["op"] == "chunk":
+    if any(s["op"] == "chunk" for s in cur["steps"]):
         key.append("chunk_idx")
     return key
 

@@ -244,3 +244,72 @@ def test_repetition_stats_empty_and_whitespace(spark):
     assert out[1].top_token_frac is None
     assert out[1].dup_line_char_frac == 0.0
     assert out[2].n_tokens == 0
+
+
+# -- sequence packing -------------------------------------------------------
+
+def test_pack_sequences_semantics(spark):
+    from hermes_spark.functions.curation import pack_sequences
+
+    rows = [
+        # one shard (ids ≡ 0 mod 4): lengths 3,3,3 with capacity 6
+        (0, 0, "a b c"),
+        (4, 0, "d e f"),
+        (8, 0, "g h i"),
+        # another shard: a row longer than capacity gets its own pack
+        (1, 0, "x " * 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, chunk_text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in pack_sequences(
+            df, ["doc_id", "chunk_idx"], capacity=6, n_shards=4
+        ).collect()
+    }
+    # starts 0,3 fit pack 0; start 6 opens pack 1
+    assert out[(0, 0)].pack_id == 0 and out[(0, 0)].pack_pos == 0
+    assert out[(4, 0)].pack_id == 0 and out[(4, 0)].pack_pos == 1
+    assert out[(8, 0)].pack_id == 1 and out[(8, 0)].pack_pos == 0
+    # oversized row: whole, alone, in its shard's pack 0
+    assert out[(1, 0)].pack_id == 0 and out[(1, 0)].n_tokens == 8
+    # shards are disjoint
+    assert out[(0, 0)].shard != out[(1, 0)].shard
+
+
+def test_pack_sequences_every_row_packed_once(spark):
+    from hermes_spark.functions.curation import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, ["doc_id"], size=8, overlap=2)
+    packed = pack_sequences(chunks, ["doc_id", "chunk_idx"], capacity=16)
+    assert packed.count() == chunks.count()
+    # (shard, pack_id, pack_pos) is a unique placement
+    assert (
+        packed.select("shard", "pack_id", "pack_pos").distinct().count()
+        == chunks.count()
+    )
+    # pack totals: every pack reaches capacity before the next opens —
+    # total >= capacity for all but the last pack per shard
+    import pyspark.sql.functions as F
+
+    agg = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("pack_id").alias("_")
+    )
+    last = packed.groupBy("shard").agg(F.max("pack_id").alias("last_pack"))
+    nonlast = agg.join(last, "shard").where(F.col("pack_id") < F.col("last_pack"))
+    assert nonlast.where(F.col("tot") < 16).count() == 0
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    from hermes_spark.functions.curation import pack_sequences
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, chunk_text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, [], capacity=8)
+    with pytest.raises(ValueError):
+        pack_sequences(df, ["doc_id"], capacity=0)

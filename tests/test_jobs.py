@@ -61,12 +61,12 @@ def test_curation_config_paths_in_errors():
         )
     assert "simhash" in e.value.message
 
-    # chunk anywhere but last is rejected
+    # chunk may only be followed by pack
     with pytest.raises(ConfigError) as e:
         _load(
             "      - op: chunk\n      - op: exact_dedup"
         )
-    assert "last step" in e.value.message
+    assert "only pack may follow" in e.value.message
 
     # a curation-only config cannot declare status (hangs off pipeline)
     with pytest.raises(ConfigError) as e:
@@ -298,3 +298,38 @@ hermes-spark:
     got2 = build_curation(spark, cfg_for(b2))
     ids2 = sorted(r.doc_id for r in got2.select("doc_id").collect())
     assert ids2 == [21]
+
+
+def test_pack_step_validation_and_composition(spark, corpus):
+    # chunk followed by pack is allowed; anything else after chunk isn't
+    cfg = _load(
+        "      - op: chunk\n        size: 4\n        overlap: 1\n"
+        "      - op: pack\n        capacity: 8\n        shards: 4"
+    )
+    assert cfg["curation"]["steps"][-1] == {
+        "op": "pack", "capacity": 8, "shards": 4,
+    }
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: chunk\n      - op: sample\n        fraction: 0.5")
+    assert "only pack may follow" in e.value.message
+    with pytest.raises(ConfigError) as e:
+        _load("      - op: pack\n      - op: exact_dedup")
+    assert "last step" in e.value.message
+
+    corpus_path, _ = corpus
+    got = build_curation(spark, load_config(f"""
+hermes-spark:
+  curation:
+    input: {corpus_path}
+    steps:
+      - op: chunk
+        size: 4
+        overlap: 1
+      - op: pack
+        capacity: 8
+        shards: 4
+"""))
+    rows = got.collect()
+    assert {"shard", "pack_id", "pack_pos", "n_tokens"} <= set(got.columns)
+    # every chunk placed exactly once
+    assert len({(r.shard, r.pack_id, r.pack_pos) for r in rows}) == len(rows)
