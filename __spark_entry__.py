@@ -1214,6 +1214,33 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, ["doc_id"], size=16, overlap=4)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.py): scale =
+    max|v|/127, q = floor(v/scale + 0.5) — written as floor(x+0.5)
+    precisely so BOTH engines compute bit-identical integers (their
+    round() halves disagree).  The oracle recomputes every q vector
+    and the IEEE scale from the same floats."""
+    from hermes_spark.functions.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # q is serialized to one string: array-typed result columns hash
+    # differently per client (numpy vs list), the values don't
+    return quantize_embeddings(e).select(
+        "vec_id", "scale", F.array_join("q", ",").alias("q_csv")
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report (curation.py): docs, token/char
+    volume, exact duplicate rate via distinct normalized fingerprints
+    — over documents ∪ noisy copies so dup_rate is non-trivial."""
+    from hermes_spark.functions.curation import corpus_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    noisy = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    return corpus_stats(d.unionByName(noisy), by=["source"])
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (curation.py): chunk the corpus 16/4 then
     pack chunks into capacity-64 training sequences across 8 shards
@@ -1359,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "bpe_token_count": q_bpe_token_count,
         "pack_sequences": q_pack_sequences,
+        "quantize_embeddings": q_quantize_embeddings,
+        "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -2067,6 +2096,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
                      AS BIGINT) AS n_ws_tokens
             FROM d
+        """,
+        "quantize_embeddings": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, v,
+                     list_max([abs(x) for x in v]) / 127.0 AS scale
+              FROM e
+            )
+            SELECT vec_id, scale,
+                   array_to_string(
+                     CASE WHEN scale = 0
+                          THEN [CAST(0 AS INT) for x in v]
+                          ELSE [CAST(floor(x / scale + 0.5) AS INT)
+                                for x in v]
+                     END, ',') AS q_csv
+            FROM s
+        """,
+        "corpus_stats": r"""
+            WITH d AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, source, text FROM documents
+            ), f AS (
+              SELECT source,
+                     CAST(len(regexp_split_to_array(lower(trim(text)),
+                       '\s+')) AS BIGINT) AS nt,
+                     CAST(length(text) AS BIGINT) AS nc,
+                     sha256(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g')) AS fp
+              FROM d
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(nc) AS BIGINT) AS n_chars,
+                   CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS avg_tokens,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                   1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM f
+            GROUP BY source
         """,
         "pack_sequences": r"""
             WITH d AS (

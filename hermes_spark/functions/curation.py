@@ -392,3 +392,43 @@ def pack_sequences(
         out.withColumn("pack_pos", F.row_number().over(wp) - 1)
         .drop("_start")
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus report — the numbers every curation run logs
+    before/after each step: docs, token/char volume, and the exact
+    duplicate rate (distinct normalized fingerprints vs rows).  One
+    partial-aggregated shuffle keyed on the group."""
+    from hermes_spark.functions.text import (
+        normalized_fingerprint,
+        token_count,
+    )
+
+    return (
+        df.select(
+            *by,
+            F.col(id_col),
+            token_count(text_col).alias("_nt"),
+            F.length(F.col(text_col)).cast("long").alias("_nc"),
+            normalized_fingerprint(text_col).alias("_fp"),
+        )
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            (F.sum("_nt").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("avg_tokens"),
+            F.count_distinct(F.col("_fp")).cast("long").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.col("_fp")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+    )

@@ -308,3 +308,51 @@ def cosine_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# -- embedding quantization -------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale =
+    max(|v|)/127``, ``q_i = floor(v_i/scale + 0.5)`` — 4× smaller
+    embedding storage with ≤ scale/2 absolute error per component,
+    the standard serving/storage trade at 10⁹-vector scale.
+
+    The rounding is written as ``floor(x + 0.5)`` (not ``round``)
+    because that formula is bit-deterministic and identical across
+    engines — Spark and DuckDB disagree on round-half behavior, and a
+    quantizer whose output depends on the engine is not a storage
+    format.  All-zero vectors quantize to zeros with scale 0.  Adds
+    ``scale`` (double) and ``out_col`` (array<int>); pure Column
+    expressions, narrow plan."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    q = F.when(
+        scale == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    return df.withColumn("scale", scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (up to ≤ scale/2 per
+    component): ``v_i ≈ q_i × scale`` as array<double>."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda x: x.cast("double") * F.col(scale_col),
+        ),
+    )

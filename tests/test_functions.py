@@ -499,3 +499,48 @@ def test_bpe_pretokens_branches(spark):
     # every contraction suffix branch fires
     assert out[5].t.count("'s") == 1 and "'re" in out[5].t and "'ll" in out[5].t
     assert "'ve" in out[5].t and "'m" in out[5].t and "'d" in out[5].t
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from hermes_spark.functions.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+            (3, [127.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df)
+    out = {r.vec_id: r for r in dequantize_embeddings(q).collect()}
+    # max|v|=1.0 -> scale=1/127; extremes hit ±127
+    assert out[1].q == [64, -127, 32, 0]
+    assert out[2].scale == 0.0 and out[2].q == [0, 0, 0, 0]
+    assert out[3].q == [127] and out[3].scale == 1.0
+    # roundtrip error bounded by scale/2 per component
+    for r in out.values():
+        for orig, deq in zip(r.embedding, r.embedding_deq):
+            assert abs(orig - deq) <= r.scale / 2 + 1e-12
+
+
+def test_corpus_stats_dup_rate(spark):
+    from hermes_spark.functions.curation import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a b c"),
+            (2, "s1", "a b c"),       # dup of 1
+            (3, "s1", "d e"),
+            (4, "s2", "x y z w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in corpus_stats(df).collect()}
+    assert out["s1"].n_docs == 3 and out["s1"].n_distinct == 2
+    assert abs(out["s1"].dup_rate - 1 / 3) < 1e-12
+    assert out["s1"].n_tokens == 8 and out["s2"].dup_rate == 0.0
