@@ -16,7 +16,12 @@ per new batch:
    store keeps ~64 longs/doc, not the text),
 4. drops new docs matching a stored doc (FIRST ARRIVAL WINS) or a
    smaller-id doc in the same batch (keep-smallest, same policy as
-   the batch family),
+   the batch family).  Note the asymmetry, shared with the batch
+   family's greedy: WITHIN a batch a doc is dropped on a match with
+   any smaller-id batch-mate (even one that is itself dropped — chain
+   resolution is sequential and does not parallelize), while ACROSS
+   batches only matches against KEPT docs drop (dropped docs leave no
+   signature).  The property test pins exactly this model,
 5. appends the SURVIVORS' signatures to the store.
 
 The store is a :class:`hermes_spark.tables.ParquetMergeTable` —

@@ -120,3 +120,90 @@ def test_incremental_dedup_rejects_bad_bands(spark, tmp_work):
             spark, _docs(spark, [(1, BASE)]),
             os.path.join(tmp_work, "s"), bands=7,
         )
+
+
+# -- property: arrival-order model ------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+
+
+@st.composite
+def _batches(draw):
+    """2-3 batches of short docs over a tiny vocab — collisions are
+    the point.  Ids are globally unique and increase with arrival."""
+    n_batches = draw(st.integers(2, 3))
+    out, next_id = [], 0
+    for _ in range(n_batches):
+        n = draw(st.integers(1, 5))
+        rows = []
+        for _ in range(n):
+            toks = draw(
+                st.lists(st.sampled_from(_VOCAB), min_size=4, max_size=7)
+            )
+            rows.append((next_id, " ".join(toks)))
+            next_id += 1
+        out.append(rows)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_batches())
+def test_incremental_matches_arrival_order_model(spark, tmp_path_factory, data):
+    """Incremental survivors == the explicit arrival-order fold of the
+    GLOBAL estimator pair set: a doc is dropped iff it est-matches a
+    smaller-id doc in its own batch, or a KEPT doc from an earlier
+    batch (dropped docs leave no signature)."""
+    import pyspark.sql.functions as F
+
+    from hermes_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from hermes_spark.functions.incremental import estimated_jaccard
+
+    store = str(tmp_path_factory.mktemp("propstore"))
+    all_rows = [r for batch in data for r in batch]
+    both = _docs(spark, all_rows)
+
+    # the operator's exact pair relation: shares a band (candidacy is
+    # batch-independent — banding a signature ignores which frame it
+    # sits in) AND estimator >= threshold
+    sigs = minhash_signatures(both)
+    cands = lsh_candidate_pairs(sigs)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in cands.join(
+            sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id")
+        )
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .where(estimated_jaccard(64) >= 0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+
+    def matches(i, j):
+        return (min(i, j), max(i, j)) in pairs
+
+    kept: list[int] = []
+    expected = []
+    for batch in data:
+        ids = [i for i, _ in batch]
+        for i in ids:
+            same_batch_smaller = any(matches(i, j) for j in ids if j < i)
+            vs_kept = any(matches(i, k) for k in kept)
+            if not same_batch_smaller and not vs_kept:
+                expected.append(i)
+        kept = list(expected)
+
+    got = []
+    for batch in data:
+        surv = incremental_minhash_dedup(spark, _docs(spark, batch), store)
+        got.extend(r.doc_id for r in surv.collect())
+    assert sorted(got) == sorted(expected)
