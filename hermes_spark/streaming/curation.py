@@ -106,6 +106,13 @@ def start_curation_stream(
             "streaming curation needs work_dir: for the target table "
             "and checkpoint",
         )
+    if any(s["op"] == "pack" for s in cur["steps"]):
+        raise ConfigError(
+            "hermes-spark.curation.steps",
+            "pack is a whole-corpus operation — a stream would restart "
+            "pack ids every micro-batch; run the batch curate verb over "
+            "the curated table instead",
+        )
 
     in_schema, out_schema = _schemas(spark, cur)
     target = _open_target(spark, cur, out_schema)

@@ -135,3 +135,23 @@ def test_cli_curate_stream_once(spark, tmp_work):
     assert rc == 0
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["rows_curated"] == 1 and rep["target_version"] >= 1
+
+
+def test_stream_curation_rejects_pack_step(spark, tmp_work):
+    src = os.path.join(tmp_work, "docs")
+    _feed(spark, src, [(1, BASE)])
+    cfg = load_config(f"""
+hermes-spark:
+  curation:
+    input: {src}
+    work_dir: {tmp_work}/cw3
+    steps:
+      - op: chunk
+        size: 4
+        overlap: 0
+      - op: pack
+        capacity: 8
+""")
+    with pytest.raises(ConfigError) as e:
+        start_curation_stream(spark, cfg, run_once=True)
+    assert "micro-batch" in e.value.message
