@@ -91,6 +91,10 @@ def _build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--timeout", type=float, default=None, metavar="SEC",
         help="with --stream: stop after SEC seconds")
+    cu.add_argument(
+        "--status", action="store_true",
+        help="report the stream's curated table (rows, commits) "
+             "without processing anything")
 
     for name in ("run", "status", "drain", "maintain", "curate"):
         p = sub.choices[name]
@@ -186,6 +190,16 @@ def main(argv=None, spark=None) -> int:
 
     if args.verb == "curate":
         try:
+            if args.status:
+                from hermes_spark.streaming.curation import curated_table
+
+                t = curated_table(spark, cfg)
+                print(json.dumps({
+                    "rows_curated": t.read().count(),
+                    "target_version": t.current_version(),
+                    "commits": len(t.committed_batch_ids()),
+                }))
+                return 0
             if args.stream:
                 from hermes_spark.streaming.curation import (
                     curated_table,

@@ -155,3 +155,26 @@ hermes-spark:
     with pytest.raises(ConfigError) as e:
         start_curation_stream(spark, cfg, run_once=True)
     assert "micro-batch" in e.value.message
+
+
+def test_cli_curate_status(spark, tmp_work):
+    from hermes_spark.__main__ import main
+
+    src = os.path.join(tmp_work, "docs")
+    _feed(spark, src, [(1, BASE), (2, "some other fresh document text")])
+    cfg_path = os.path.join(tmp_work, "st.yml")
+    with open(cfg_path, "w") as f:
+        f.write(_cfg_text(tmp_work))
+
+    import io
+    from contextlib import redirect_stdout
+
+    with redirect_stdout(io.StringIO()):
+        main(["curate", cfg_path, "--stream", "--once"], spark=spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["curate", cfg_path, "--status"], spark=spark)
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows_curated"] == 2 and rep["commits"] == 1
+    assert rep["target_version"] >= 1
