@@ -656,6 +656,25 @@ def _load_curation(node: Any) -> dict:
                     sp, "pack must be the last step"
                 )
         steps.append(step)
+    # a store-backed dedup COMMITS survivors' signatures — content a
+    # later filter then removes would still block future near-copies
+    # (silent corpus loss).  Require the store step to run after every
+    # doc-dropping step.
+    dropping = {
+        "exact_dedup", "near_dedup", "decontaminate", "sample",
+        "quality_filter",
+    }
+    for i, step in enumerate(steps):
+        if step["op"] == "near_dedup" and step.get("store"):
+            later = [s["op"] for s in steps[i + 1:] if s["op"] in dropping]
+            if later:
+                raise ConfigError(
+                    f"{c_path}.steps[{i}].store",
+                    f"a store-backed near_dedup permanently records its "
+                    f"survivors — move it AFTER {sorted(set(later))}, or "
+                    f"docs those steps drop would still block future "
+                    f"near-copies",
+                )
     out["steps"] = steps
     return out
 

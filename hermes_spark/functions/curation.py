@@ -367,11 +367,25 @@ def pack_sequences(
         raise ValueError("order_cols must name a unique ordering")
     from hermes_spark.functions.text import token_count
 
-    shard = (
-        shard_col
-        if shard_col is not None
-        else F.pmod(F.col(order_cols[0]).cast("long"), F.lit(n_shards))
-    )
+    if shard_col is not None:
+        shard = shard_col
+    else:
+        first = next(
+            f for f in df.schema.fields if f.name == order_cols[0]
+        )
+        numeric = first.dataType.typeName() in (
+            "byte", "short", "integer", "long",
+        )
+        # numeric ids shard by value (replayable in any engine, the
+        # contract-oracle choice); anything else hashes — a cast
+        # of a string id to long would be NULL for every row and
+        # collapse the corpus into one unsharded window partition
+        key = (
+            F.col(order_cols[0]).cast("long")
+            if numeric
+            else F.xxhash64(F.col(order_cols[0]).cast("string"))
+        )
+        shard = F.pmod(key, F.lit(n_shards))
     w = (
         Window.partitionBy("shard")
         .orderBy(*order_cols)
@@ -397,7 +411,6 @@ def pack_sequences(
 def corpus_stats(
     df: DataFrame,
     by: Sequence[str] = ("source",),
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Per-group corpus report — the numbers every curation run logs
@@ -412,7 +425,6 @@ def corpus_stats(
     return (
         df.select(
             *by,
-            F.col(id_col),
             token_count(text_col).alias("_nt"),
             F.length(F.col(text_col)).cast("long").alias("_nc"),
             normalized_fingerprint(text_col).alias("_fp"),

@@ -188,13 +188,21 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     unit: str = "word",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """num_hashes-wide MinHash signature per doc, entirely JVM-side:
     hash_i(shingle) = xxhash64(i, shingle); signature_i = min over the
     doc's distinct shingles.  One explode + one groupBy — the shuffle
     carries (id, shingle) pairs once, with all num_hashes mins computed
-    as parallel aggregates (map-side partial min)."""
+    as parallel aggregates (map-side partial min).  ``max_doc_freq``
+    drops shingles present in more than that many docs before hashing
+    (the boilerplate guard) — this is THE signing kernel: every
+    consumer (batch pairs, incremental store) must hash identically or
+    persisted signatures stop being comparable."""
     sh = _distinct_shingles(df, id_col, text_col, n, unit)
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -251,19 +259,18 @@ def minhash_dedup_pairs(
     *distinctive* content.  Band count trades recall for candidate
     volume: 8 bands × 8 rows keeps P(candidate) = sim^8 per band —
     ~0.999 recall at sim 0.9, ~0.4% at sim 0.5."""
-    sh_all = _distinct_shingles(df, id_col, text_col, n, unit)
-    if max_doc_freq is not None:
-        hot = sh_all.groupBy("sh").count().where(F.col("count") > max_doc_freq)
-        sh_all = sh_all.join(hot.select("sh"), "sh", "left_anti")
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh_all.groupBy(id_col).agg(*aggs)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, unit=unit,
+        max_doc_freq=max_doc_freq,
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     if verify_threshold is None:
         return cands
-    sh = sh_all
+    # verify over the same guarded shingle set the signatures hashed
+    sh = _distinct_shingles(df, id_col, text_col, n, unit)
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))

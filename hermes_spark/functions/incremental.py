@@ -99,7 +99,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
@@ -108,36 +108,26 @@ def incremental_minhash_dedup(
 
     This is a MATERIALIZATION BARRIER (the drop decision must be
     computed before the store commit), unlike the lazy batch steps.
+    Run it AFTER any filtering (quality/sampling/decontamination): a
+    committed signature claims its content forever, so a doc filtered
+    out downstream would still block future near-copies — the
+    declarative layer enforces this ordering at load time.
     ``threshold`` applies to the ESTIMATED Jaccard — with the default
     64 hashes the estimator's σ is ~0.06 at J≈0.8; widen num_hashes
-    for tighter cuts.  ``max_doc_freq`` drops boilerplate shingles
-    before signing (same knob and caveat as the batch family)."""
+    for tighter cuts.  ``bands`` defaults to the batch family's 8 so
+    toggling the store on a declarative step keeps the same band
+    recall curve.  ``max_doc_freq`` drops boilerplate shingles before
+    signing (same knob and caveat as the batch family)."""
     if num_hashes % bands != 0:
         raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
     id_field = next(f for f in new_docs.schema.fields if f.name == id_col)
     store = signature_store(spark, store_path, id_field, num_hashes)
 
     src = new_docs
-    if max_doc_freq is not None:
-        from hermes_spark.functions.dedup import _distinct_shingles
-
-        sh = _distinct_shingles(src, id_col, text_col, n, unit="word")
-        hot = (
-            sh.groupBy("sh").count()
-            .where(F.col("count") > max_doc_freq)
-            .select("sh")
-        )
-        kept = sh.join(hot, "sh", "left_anti")
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-        sig_new = kept.groupBy(id_col).agg(*aggs)
-    else:
-        sig_new = minhash_signatures(
-            src, id_col, text_col, n=n, num_hashes=num_hashes
-        )
-    sig_new = sig_new.cache()
+    sig_new = minhash_signatures(
+        src, id_col, text_col, n=n, num_hashes=num_hashes,
+        max_doc_freq=max_doc_freq,
+    ).cache()
     try:
         # replay safety: rows for ids already stored (a re-delivered
         # batch) must not self-match — the store side excludes them
@@ -170,6 +160,11 @@ def incremental_minhash_dedup(
             sig_new if prior is None else prior.unionByName(sig_new)
         )
         est = estimated_jaccard(num_hashes)
+        # drops stays CACHED past return: the returned lazy survivors
+        # frame anti-joins against it, and without the cache a consumer
+        # would re-run the whole signing + band join.  It holds bare
+        # ids of dropped docs — O(dups in batch) — and is freed with
+        # the session
         drops = (
             pairs
             .join(all_sigs.alias("a"),
@@ -179,18 +174,22 @@ def incremental_minhash_dedup(
             .where(est >= F.lit(threshold))
             .select(F.col("cand").alias(id_col))
             .distinct()
-        )
+        ).cache()
+        drops.count()
         survivors = src.join(drops, id_col, "left_anti")
         surv_sigs = sig_new.join(drops, id_col, "left_anti")
 
-        # content-stable batch id over the INPUT id set (one tiny agg)
-        h = src.agg(
-            F.xxhash64(
-                F.sort_array(
-                    F.collect_list(F.col(id_col).cast("string"))
-                )
-            ).alias("h")
-        ).first().h
+        # content-stable batch id: order-independent xor of per-row
+        # hashes over (id, full signature) — a distributed partial
+        # aggregate (no single-task collect_list array), and sensitive
+        # to CONTENT: a re-delivered batch with the same ids but
+        # changed text hashes differently and correctly re-commits
+        # (MERGE then upserts the fresh signatures)
+        row_h = F.xxhash64(
+            F.col(id_col).cast("string"),
+            *[F.col(f"mh_{i}") for i in range(num_hashes)],
+        )
+        h = sig_new.agg(F.bit_xor(row_h).alias("h")).first().h
         store.merge(
             surv_sigs.withColumn("op", F.lit("insert")),
             batch_id=f"inc-dedup-{h}",

@@ -333,11 +333,13 @@ def quantize_embeddings(
     )
     q = F.when(
         scale == 0.0,
-        F.transform(v, lambda x: F.lit(0)),
+        F.transform(v, lambda x: F.lit(0).cast("byte")),
     ).otherwise(
         F.transform(
             v,
-            lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+            # values provably in [-127, 127] — byte (int8) is the
+            # point: array<byte> is what delivers the 4x storage claim
+            lambda x: F.floor(x / scale + F.lit(0.5)).cast("byte"),
         )
     )
     return df.withColumn("scale", scale).withColumn(out_col, q)

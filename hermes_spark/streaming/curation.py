@@ -149,8 +149,16 @@ def start_curation_stream(
 
 
 def curated_table(spark: SparkSession, config):
-    """Open the stream's curated target for reading (same schema
-    derivation as the running stream — needs the input dir present)."""
+    """Open the stream's curated target for reading.
+
+    An EXISTING table self-describes from its commit log (create
+    record key/schema + any evolution) — `curate --status` works even
+    when the input directory has since been detached.  Only a
+    first-ever open (no ledger yet) derives the schema from the input
+    the way the stream start does."""
+    from hermes_spark.tables import ParquetMergeTable
+    from pyspark.sql import types as T
+
     cfg = config if isinstance(config, dict) and "curation" in config \
         else load_config(config)
     cur = cfg["curation"]
@@ -158,5 +166,22 @@ def curated_table(spark: SparkSession, config):
         raise ConfigError(
             "hermes-spark.curation.work_dir", "streaming curation only"
         )
+    path = os.path.join(cur["work_dir"], "curated")
+    if os.path.exists(os.path.join(path, "_commits.jsonl")):
+        # ledger present: a probe instance (constructor writes nothing
+        # when the log exists) reads back the logged key + schema
+        probe = ParquetMergeTable(
+            spark, path, key=_target_key(cur),
+            schema=T.StructType(
+                [T.StructField(c, T.StringType(), True)
+                 for c in _target_key(cur)]
+            ),
+        )
+        key = probe.logged_key()
+        schema = probe.logged_schema()
+        if key and schema:
+            return ParquetMergeTable(
+                spark, path, key=key, schema=schema, compact_every=8
+            )
     _, out_schema = _schemas(spark, cur)
     return _open_target(spark, cur, out_schema)

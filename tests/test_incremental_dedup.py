@@ -176,7 +176,7 @@ def test_incremental_matches_arrival_order_model(spark, tmp_path_factory, data):
     # batch-independent — banding a signature ignores which frame it
     # sits in) AND estimator >= threshold
     sigs = minhash_signatures(both)
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sigs, bands=8)  # the operator's default
     pairs = {
         (r.doc_a, r.doc_b)
         for r in cands.join(
@@ -207,3 +207,31 @@ def test_incremental_matches_arrival_order_model(spark, tmp_path_factory, data):
         surv = incremental_minhash_dedup(spark, _docs(spark, batch), store)
         got.extend(r.doc_id for r in surv.collect())
     assert sorted(got) == sorted(expected)
+
+
+def test_redelivery_with_changed_text_recommits(spark, tmp_work):
+    """The content-stable batch id hashes (id, signature) — same ids
+    with CHANGED text is NOT a replay: the store re-commits and
+    upserts the fresh signatures (MERGE on id)."""
+    from pyspark.sql import types as T
+
+    store = os.path.join(tmp_work, "sigstore4")
+    incremental_minhash_dedup(spark, _docs(spark, [(1, BASE)]), store)
+    st = signature_store(
+        spark, store, T.StructField("doc_id", T.LongType(), True)
+    )
+    v1 = st.current_version()
+
+    # corrected content under the same id
+    surv = incremental_minhash_dedup(spark, _docs(spark, [(1, OTHER)]), store)
+    assert [r.doc_id for r in surv.collect()] == [1]
+    st2 = signature_store(
+        spark, store, T.StructField("doc_id", T.LongType(), True)
+    )
+    assert st2.current_version() > v1
+    # store now matches the NEW content: a future near-copy of the
+    # new text is dropped, the old text no longer blocks
+    surv2 = incremental_minhash_dedup(
+        spark, _docs(spark, [(7, OTHER), (8, BASE)]), store
+    )
+    assert sorted(r.doc_id for r in surv2.collect()) == [8]

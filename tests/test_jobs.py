@@ -333,3 +333,21 @@ hermes-spark:
     assert {"shard", "pack_id", "pack_pos", "n_tokens"} <= set(got.columns)
     # every chunk placed exactly once
     assert len({(r.shard, r.pack_id, r.pack_pos) for r in rows}) == len(rows)
+
+
+def test_store_dedup_must_follow_droppers():
+    with pytest.raises(ConfigError) as e:
+        _load(
+            "      - op: near_dedup\n        store: /tmp/sigs\n"
+            "      - op: sample\n        fraction: 0.5"
+        )
+    assert "permanently records" in e.value.message
+    # droppers BEFORE the store step are fine
+    cfg = _load(
+        "      - op: sample\n        fraction: 0.5\n"
+        "      - op: near_dedup\n        store: /tmp/sigs\n"
+        "      - op: chunk"
+    )
+    assert [s["op"] for s in cfg["curation"]["steps"]] == [
+        "sample", "near_dedup", "chunk",
+    ]

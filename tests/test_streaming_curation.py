@@ -33,11 +33,11 @@ hermes-spark:
     work_dir: {tmp_work}/cwork
     steps:
       - op: pii_scrub
+      - op: quality_filter
+        min_tokens: 3
       - op: near_dedup
         store: {tmp_work}/sigs
         threshold: 0.8
-      - op: quality_filter
-        min_tokens: 3
 """
 
 
