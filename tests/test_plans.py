@@ -106,3 +106,49 @@ def test_exact_dedup_aggregates_map_side(spark, sf_dir):
     plan = _physical(E.queries()["exact_dedup"](spark, sf_dir))
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_round6_queries_have_no_python_udfs(spark, sf_dir):
+    """The round-6 curation/tokenization/packing operators stay
+    JVM-only too."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in [
+        "decontaminate", "repetition_stats", "bpe_token_count",
+        "pack_sequences", "quantize_embeddings", "corpus_stats",
+        "pii_scrub", "hash_sample", "chunk_documents",
+    ]:
+        plan = _physical(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, (name, plan[:2000])
+
+
+def test_decontaminate_probe_join_broadcasts(spark, sf_dir):
+    """The eval-shingle side of the contamination probe is broadcast —
+    the corpus side must NOT shuffle for candidate generation (the
+    100 TB property: probing is a map-side join)."""
+    import __spark_entry__ as E
+
+    plan = _physical(E.queries()["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_exchange_per_window(spark, sf_dir):
+    """Packing is sharded: the plan partitions by shard (hash
+    exchange), never a single-partition global window (which would
+    serialize the cumsum)."""
+    import __spark_entry__ as E
+
+    plan = _physical(E.queries()["pack_sequences"](spark, sf_dir))
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_quantize_and_chunk_are_narrow(spark, sf_dir):
+    """Quantization and chunking are pure per-row transforms — zero
+    exchanges: they parallelize with the scan."""
+    import __spark_entry__ as E
+
+    for name in ("quantize_embeddings", "chunk_documents"):
+        plan = _physical(E.queries()[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan[:2000])
