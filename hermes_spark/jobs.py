@@ -33,6 +33,11 @@ onto one already-tested operator from ``functions/curation.py`` /
             size: 128
             overlap: 32
 
+Batch runs with a store-backed dedup step process ONE batch per
+invocation and `output:` is overwritten per run — write per-batch
+output dirs (`--output`), or use `curate --stream`, whose curated
+table accumulates batches exactly-once.
+
 Everything stays one lazy DataFrame plan until the caller writes or
 counts — Catalyst sees the WHOLE job, so filters compose and the scan
 is pruned across steps.  Dedup survivor policy (documented, not
