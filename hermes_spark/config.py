@@ -491,13 +491,18 @@ def _load_curation(node: Any) -> dict:
     cur = _require_mapping(node, c_path)
     _check_keys(
         cur, c_path, {"input", "steps"},
-        {"id", "text", "output", "work_dir", "max_files_per_trigger"},
+        {"id", "text", "output", "work_dir", "max_files_per_trigger",
+         "schema"},
     )
     out = {
         "input": _typed(cur, c_path, "input", str),
         "output": _typed(cur, c_path, "output", str),
         "id": _typed(cur, c_path, "id", str, default="doc_id"),
         "text": _typed(cur, c_path, "text", str, default="text"),
+        # DDL column list, e.g. "doc_id long, text string" — required
+        # when input is a json:/csv: registry URL (those sources never
+        # infer; parsed at build time, Spark-free here)
+        "schema": _typed(cur, c_path, "schema", str),
         # stream mode (curate --stream): target table + checkpoint root
         "work_dir": _typed(cur, c_path, "work_dir", str),
         "max_files_per_trigger": _typed(

@@ -55,19 +55,48 @@ from pyspark.sql import functions as F
 from hermes_spark.config import ConfigError, load_config
 
 
-def _read_corpus(spark: SparkSession, path: str, cfg_path: str) -> DataFrame:
-    """Read a declared parquet input, mapping an unreadable/missing
+def parse_ddl_schema(ddl: str | None, cfg_path: str):
+    """Parse a config-declared DDL column list ("doc_id long, text
+    string") into a StructType at BUILD time (load_config stays
+    Spark-free), with the error named by its config path."""
+    if ddl is None:
+        return None
+    from pyspark.sql import types as T
+
+    try:
+        return T.StructType.fromDDL(ddl)
+    except Exception as e:
+        raise ConfigError(
+            cfg_path, f"invalid DDL schema {ddl!r}: {str(e).splitlines()[0]}"
+        ) from e
+
+
+def _read_corpus(
+    spark: SparkSession, path: str, cfg_path: str, schema_ddl: str | None = None
+) -> DataFrame:
+    """Read a declared corpus input, mapping an unreadable/missing
     path onto the surface's standard dotted-path ConfigError (the CLI
     only catches ConfigError — a raw AnalysisException traceback is
-    not the contract)."""
+    not the contract).
+
+    A bare path reads as parquet; a ``scheme:rest`` URL goes through
+    the sources registry (``json:/data/docs.jsonl`` with ``schema:``,
+    ``csv:``, ``sqlite:`` …) — jsonl corpora are the training-data
+    lingua franca and need no conversion step."""
+    schema = parse_ddl_schema(schema_ddl, f"{cfg_path} (schema)")
     try:
-        return spark.read.parquet(path)
+        if ":" in path:
+            from hermes_spark import sources
+
+            return sources.snapshot(spark, path, schema=schema)
+        r = spark.read.schema(schema) if schema is not None else spark.read
+        return r.parquet(path)
     except Exception as e:
         from pyspark.errors.exceptions.base import AnalysisException
 
-        if isinstance(e, AnalysisException):
+        if isinstance(e, (AnalysisException, ValueError)):
             raise ConfigError(
-                cfg_path, f"cannot read parquet at {path!r}: "
+                cfg_path, f"cannot read corpus at {path!r}: "
                 f"{str(e).splitlines()[0]}"
             ) from e
         raise
@@ -98,7 +127,8 @@ def build_curation(
         )
     id_col, text_col = cur["id"], cur["text"]
     df = input_df if input_df is not None else _read_corpus(
-        spark, cur["input"], "hermes-spark.curation.input"
+        spark, cur["input"], "hermes-spark.curation.input",
+        schema_ddl=cur.get("schema"),
     )
     for col in (id_col, text_col):
         if col not in df.columns:

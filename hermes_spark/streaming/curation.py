@@ -43,17 +43,30 @@ def _target_key(cur: dict) -> list[str]:
 def _schemas(spark: SparkSession, cur: dict):
     """(input schema, output schema) for the stream — derived once
     against an empty frame: analysis only, no store side effects
-    (dedup steps never change the schema, so the probe skips them)."""
-    from hermes_spark.jobs import build_curation
+    (dedup steps never change the schema, so the probe skips them).
+    A declared ``schema:`` (DDL) skips the input probe entirely."""
+    from hermes_spark.jobs import build_curation, parse_ddl_schema
 
-    try:
-        in_schema = spark.read.parquet(cur["input"]).schema
-    except Exception as e:
-        raise ConfigError(
-            "hermes-spark.curation.input",
-            f"cannot infer the stream schema — write at least one "
-            f"parquet file first ({str(e).splitlines()[0]})",
-        ) from e
+    in_schema = parse_ddl_schema(
+        cur.get("schema"), "hermes-spark.curation.schema"
+    )
+    if in_schema is None:
+        path = cur["input"]
+        if ":" in path:
+            raise ConfigError(
+                "hermes-spark.curation.schema",
+                f"streaming over a {path.split(':', 1)[0]}: source needs "
+                "a declared schema: (no inference on a stream)",
+            )
+        try:
+            in_schema = spark.read.parquet(path).schema
+        except Exception as e:
+            raise ConfigError(
+                "hermes-spark.curation.input",
+                f"cannot infer the stream schema — write at least one "
+                f"parquet file first, or declare schema: "
+                f"({str(e).splitlines()[0]})",
+            ) from e
     probe_cfg = {
         "curation": {
             **cur,
@@ -131,8 +144,23 @@ def start_curation_stream(
         reader = reader.option(
             "maxFilesPerTrigger", cur["max_files_per_trigger"]
         )
+    url = cur["input"]
+    if ":" in url:
+        scheme, rest = url.split(":", 1)
+        if scheme == "parquet":
+            src_stream = reader.parquet(rest)
+        elif scheme == "json":
+            src_stream = reader.json(rest)
+        else:
+            raise ConfigError(
+                "hermes-spark.curation.input",
+                f"streaming curation reads parquet:/json: (or a bare "
+                f"parquet dir), not {scheme}:",
+            )
+    else:
+        src_stream = reader.parquet(url)
     q = (
-        reader.parquet(cur["input"])
+        src_stream
         .writeStream.foreachBatch(on_batch)
         .option(
             "checkpointLocation", os.path.join(cur["work_dir"], "checkpoint")

@@ -255,7 +255,7 @@ hermes-spark:
     with pytest.raises(ConfigError) as e:
         build_curation(spark, cfg).count()
     assert e.value.path == "hermes-spark.curation.input"
-    assert "cannot read parquet" in e.value.message
+    assert "cannot read corpus" in e.value.message
 
 
 def test_near_dedup_store_is_minhash_only():
@@ -351,3 +351,48 @@ def test_store_dedup_must_follow_droppers():
     assert [s["op"] for s in cfg["curation"]["steps"]] == [
         "sample", "near_dedup", "chunk",
     ]
+
+
+def test_jsonl_corpus_input(spark, tmp_work):
+    """input: json:<path> + schema: DDL reads a jsonl corpus through
+    the sources registry — the training-data lingua franca needs no
+    parquet conversion step."""
+    import json as _json
+
+    src = os.path.join(tmp_work, "docs.jsonl")
+    with open(src, "w") as f:
+        for i, t in enumerate(["alpha beta gamma", "alpha beta gamma",
+                               "delta epsilon zeta"]):
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    got = build_curation(spark, load_config(f"""
+hermes-spark:
+  curation:
+    input: json:{src}
+    schema: "doc_id long, text string"
+    steps:
+      - op: exact_dedup
+"""))
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == [0, 2]
+
+    # json input without a declared schema fails with the config path
+    with pytest.raises(ConfigError) as e:
+        build_curation(spark, load_config(f"""
+hermes-spark:
+  curation:
+    input: json:{src}
+    steps:
+      - op: exact_dedup
+""")).count()
+    assert "hermes-spark.curation.input" in e.value.path
+
+    # a bad DDL fails naming the schema path
+    with pytest.raises(ConfigError) as e:
+        build_curation(spark, load_config(f"""
+hermes-spark:
+  curation:
+    input: json:{src}
+    schema: "doc_id wat"
+    steps:
+      - op: exact_dedup
+"""))
+    assert "schema" in e.value.path

@@ -178,3 +178,41 @@ def test_cli_curate_status(spark, tmp_work):
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["rows_curated"] == 2 and rep["commits"] == 1
     assert rep["target_version"] >= 1
+
+
+def test_stream_curation_over_jsonl(spark, tmp_work):
+    """Streaming curation over a json: source with a declared schema —
+    no parquet probe, schema comes from the config."""
+    import json as _json
+
+    srcdir = os.path.join(tmp_work, "jdocs")
+    os.makedirs(srcdir)
+    with open(os.path.join(srcdir, "b1.jsonl"), "w") as f:
+        for i, t in enumerate([BASE, BASE, "some fresh other words here"]):
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    cfg = load_config(f"""
+hermes-spark:
+  curation:
+    input: json:{srcdir}
+    schema: "doc_id long, text string"
+    work_dir: {tmp_work}/cwj
+    steps:
+      - op: near_dedup
+        store: {tmp_work}/jsigs
+""")
+    start_curation_stream(spark, cfg, run_once=True)
+    t = curated_table(spark, cfg)
+    assert {r.doc_id for r in t.read().select("doc_id").collect()} == {0, 2}
+
+    # json stream WITHOUT schema: is rejected with the config path
+    cfg2 = load_config(f"""
+hermes-spark:
+  curation:
+    input: json:{srcdir}
+    work_dir: {tmp_work}/cwj2
+    steps:
+      - op: exact_dedup
+""")
+    with pytest.raises(ConfigError) as e:
+        start_curation_stream(spark, cfg2, run_once=True)
+    assert e.value.path.endswith("schema")
