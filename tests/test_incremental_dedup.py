@@ -18,8 +18,15 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-NEAR = BASE + " lambda"  # high-overlap tail edit
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+    "mu nu xi omicron pi rho sigma tau upsilon"
+)
+# one-token tail edit: J = 18/19 ≈ 0.95, far above both the 0.8
+# estimator cut and the 8-band miss probability for ANY hash family
+# (the pair must not sit near the operating point — the property test
+# owns borderline behavior)
+NEAR = BASE + " omega"
 OTHER = "one two three four five six seven eight nine ten eleven twelve"
 
 
