@@ -46,6 +46,37 @@ from hermes_spark.functions.dedup import minhash_signatures
 from hermes_spark.tables import ParquetMergeTable
 
 
+# the signature hash family: bump whenever the signing math changes
+# (shingle construction, shingle hashing, per-index hashing).  A store
+# written by a DIFFERENT family is useless — its signatures never
+# match newly-computed ones, so cross-batch dedup would silently
+# degrade to batch-scoped.  v2 = int64-hashed shingles.
+SIG_FAMILY = "minhash-xxh64-shingle64-v2"
+
+
+def _check_sig_family(path: str) -> None:
+    """Latch the family marker on first use; refuse a mismatched
+    store LOUDLY (single-writer dir, plain marker file)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "_sig_family.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = json.load(f).get("family")
+        if found != SIG_FAMILY:
+            raise ValueError(
+                f"signature store at {path} was written by hash family "
+                f"{found!r}; this build signs with {SIG_FAMILY!r} — its "
+                f"signatures would never match the stored ones (silent "
+                f"dedup loss).  Rebuild the store or pin the old build."
+            )
+        return
+    with open(marker, "w") as f:
+        json.dump({"family": SIG_FAMILY}, f)
+
+
 def signature_store(
     spark: SparkSession,
     path: str,
@@ -53,6 +84,7 @@ def signature_store(
     num_hashes: int = 64,
 ) -> ParquetMergeTable:
     """The persisted signature table: (id, mh_0..mh_{H-1})."""
+    _check_sig_family(path)
     schema = T.StructType(
         [id_field]
         + [T.StructField(f"mh_{i}", T.LongType(), True)

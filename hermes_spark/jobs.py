@@ -71,30 +71,50 @@ def parse_ddl_schema(ddl: str | None, cfg_path: str):
         ) from e
 
 
+# schemes the engine's OWN source registry serves; anything else with
+# a colon (s3://, hdfs://, s3a://, file:/, a ':' in a dir name) is a
+# filesystem URI and reads as parquet — cloud paths are the norm at
+# the 100 TB target, they must not be hijacked by the registry
+_REGISTRY_SCHEMES = {
+    "parquet", "json", "csv", "sqlite", "postgresql", "oracle", "ldap",
+}
+
+
+def registry_scheme(path: str) -> str | None:
+    """The sources-registry scheme of ``path``, or None when the path
+    should go straight to the filesystem parquet reader."""
+    if ":" not in path:
+        return None
+    scheme = path.split(":", 1)[0].lower()
+    return scheme if scheme in _REGISTRY_SCHEMES else None
+
+
 def _read_corpus(
     spark: SparkSession, path: str, cfg_path: str, schema_ddl: str | None = None
 ) -> DataFrame:
     """Read a declared corpus input, mapping an unreadable/missing
     path onto the surface's standard dotted-path ConfigError (the CLI
-    only catches ConfigError — a raw AnalysisException traceback is
-    not the contract).
+    only catches ConfigError — a raw traceback is not the contract).
 
-    A bare path reads as parquet; a ``scheme:rest`` URL goes through
-    the sources registry (``json:/data/docs.jsonl`` with ``schema:``,
-    ``csv:``, ``sqlite:`` …) — jsonl corpora are the training-data
-    lingua franca and need no conversion step."""
-    schema = parse_ddl_schema(schema_ddl, f"{cfg_path} (schema)")
+    A bare path or a filesystem URI (s3://, hdfs://, file:/) reads as
+    parquet; a registry URL (``json:/data/docs.jsonl`` with
+    ``schema:``, ``csv:``, ``sqlite:`` …) goes through the sources
+    registry — jsonl corpora are the training-data lingua franca and
+    need no conversion step."""
+    schema = parse_ddl_schema(schema_ddl, "hermes-spark.curation.schema")
     try:
-        if ":" in path:
+        if registry_scheme(path):
             from hermes_spark import sources
 
             return sources.snapshot(spark, path, schema=schema)
         r = spark.read.schema(schema) if schema is not None else spark.read
         return r.parquet(path)
     except Exception as e:
+        import sqlite3
+
         from pyspark.errors.exceptions.base import AnalysisException
 
-        if isinstance(e, (AnalysisException, ValueError)):
+        if isinstance(e, (AnalysisException, ValueError, sqlite3.Error)):
             raise ConfigError(
                 cfg_path, f"cannot read corpus at {path!r}: "
                 f"{str(e).splitlines()[0]}"

@@ -51,13 +51,18 @@ def _schemas(spark: SparkSession, cur: dict):
         cur.get("schema"), "hermes-spark.curation.schema"
     )
     if in_schema is None:
+        from hermes_spark.jobs import registry_scheme
+
         path = cur["input"]
-        if ":" in path:
+        scheme = registry_scheme(path)
+        if scheme and scheme != "parquet":
             raise ConfigError(
                 "hermes-spark.curation.schema",
-                f"streaming over a {path.split(':', 1)[0]}: source needs "
+                f"streaming over a {scheme}: source needs "
                 "a declared schema: (no inference on a stream)",
             )
+        if scheme == "parquet":
+            path = path.split(":", 1)[1]
         try:
             in_schema = spark.read.parquet(path).schema
         except Exception as e:
@@ -144,19 +149,23 @@ def start_curation_stream(
         reader = reader.option(
             "maxFilesPerTrigger", cur["max_files_per_trigger"]
         )
+    # registry parquet:/json: handled inline (sources.stream has the
+    # same dispatch but no reader-option passthrough); a filesystem
+    # URI (s3://, hdfs://) or bare dir streams as parquet
+    from hermes_spark.jobs import registry_scheme
+
     url = cur["input"]
-    if ":" in url:
-        scheme, rest = url.split(":", 1)
-        if scheme == "parquet":
-            src_stream = reader.parquet(rest)
-        elif scheme == "json":
-            src_stream = reader.json(rest)
-        else:
-            raise ConfigError(
-                "hermes-spark.curation.input",
-                f"streaming curation reads parquet:/json: (or a bare "
-                f"parquet dir), not {scheme}:",
-            )
+    scheme = registry_scheme(url)
+    if scheme == "parquet":
+        src_stream = reader.parquet(url.split(":", 1)[1])
+    elif scheme == "json":
+        src_stream = reader.json(url.split(":", 1)[1])
+    elif scheme:
+        raise ConfigError(
+            "hermes-spark.curation.input",
+            f"streaming curation reads parquet:/json: (or a parquet "
+            f"dir/URI), not {scheme}:",
+        )
     else:
         src_stream = reader.parquet(url)
     q = (

@@ -242,3 +242,19 @@ def test_redelivery_with_changed_text_recommits(spark, tmp_work):
         spark, _docs(spark, [(7, OTHER), (8, BASE)]), store
     )
     assert sorted(r.doc_id for r in surv2.collect()) == [8]
+
+
+def test_signature_store_family_marker(spark, tmp_work):
+    """A store written by a different hash family is refused loudly —
+    mismatched signatures would otherwise silently stop matching."""
+    import json as _json
+
+    store = os.path.join(tmp_work, "sigstore5")
+    incremental_minhash_dedup(spark, _docs(spark, [(1, BASE)]), store)
+    marker = os.path.join(store, "_sig_family.json")
+    assert _json.load(open(marker))["family"].endswith("-v2")
+
+    with open(marker, "w") as f:
+        _json.dump({"family": "minhash-legacy-v1"}, f)
+    with pytest.raises(ValueError, match="hash family"):
+        incremental_minhash_dedup(spark, _docs(spark, [(2, OTHER)]), store)

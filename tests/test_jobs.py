@@ -396,3 +396,28 @@ hermes-spark:
       - op: exact_dedup
 """))
     assert "schema" in e.value.path
+
+
+def test_registry_scheme_routing():
+    from hermes_spark.jobs import registry_scheme
+
+    assert registry_scheme("json:/data/x.jsonl") == "json"
+    assert registry_scheme("sqlite:/db.sqlite?table=t") == "sqlite"
+    assert registry_scheme("parquet:/data/x") == "parquet"
+    # filesystem URIs and odd paths stay on the parquet reader
+    for p in ("s3://bucket/docs", "hdfs://nn/corpus", "s3a://b/x",
+              "file:/data/docs", "/data/run:2024/docs", "/plain/path"):
+        assert registry_scheme(p) is None, p
+
+
+def test_sqlite_corpus_error_is_config_error(spark, tmp_work):
+    cfg = load_config(f"""
+hermes-spark:
+  curation:
+    input: sqlite:{tmp_work}/missing.db?table=docs
+    steps:
+      - op: exact_dedup
+""")
+    with pytest.raises(ConfigError) as e:
+        build_curation(spark, cfg).count()
+    assert e.value.path == "hermes-spark.curation.input"
