@@ -134,31 +134,34 @@ def ngram_jaccard_pairs(
     shingles in more than that many docs outright (boilerplate guard;
     changes semantics, mirrored by the oracle)."""
     sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
-    if max_doc_freq is not None:
-        hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
-        sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
 
     if prefix_filter:
-        from pyspark.sql import Window
-
+        # ONE doc-frequency aggregation serves both the hot-shingle
+        # guard and the rarest-first prefix ranking (previously two
+        # separate 20M-row shuffles computing the same counts), and the
+        # per-doc row_number window over every (doc, shingle) row is
+        # replaced by a groupBy collect + in-row sort_array: same
+        # (_df, sh) ascending order, same prefix — but sorting ~100-
+        # element arrays per doc instead of one global 20M-row sort.
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-        ranked = (
-            sh.join(dfreq, "sh")
-            .join(sizes, id_col)
-            .withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("_df", "sh")
-                ),
-            )
+        sh2 = sh.join(dfreq, "sh")
+        if max_doc_freq is not None:
+            sh2 = sh2.where(F.col("_df") <= max_doc_freq)
+        docs = sh2.groupBy(id_col).agg(
+            F.sort_array(F.collect_list(F.struct("_df", "sh"))).alias("_ranked")
+        ).select(
+            F.col(id_col),
+            F.transform("_ranked", lambda s: s["sh"]).alias("_arr"),
+            F.size("_ranked").cast("long").alias("sz"),
         )
         # prefix length |x| - ceil(t|x|) + 1; the epsilon biases ceil
         # DOWN so float error can only LENGTHEN the prefix (lossless)
-        pref = ranked.where(
-            F.col("_r")
-            <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1
-        ).select(id_col, "sh")
+        plen = (
+            F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1
+        ).cast("int")
+        pref = docs.select(
+            F.col(id_col), F.explode(F.slice("_arr", F.lit(1), plen)).alias("sh")
+        )
         pa = pref.select(F.col(id_col).alias("doc_a"), "sh")
         pb = pref.select(F.col(id_col).alias("doc_b"), "sh")
         cands = (
@@ -167,23 +170,49 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-        b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-        common = (
+        # verify with per-doc shingle ARRAYS (array_intersect) instead
+        # of re-exploding both sides through a candidates×shingles join
+        # (which materialized ~|cands|·|shingles/doc| rows); every
+        # candidate pair shares ≥1 prefix shingle so no zero-common
+        # pair is introduced or lost
+        a = docs.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("_arr").alias("_arr_a"),
+            F.col("sz").alias("sz_a"),
+        )
+        b = docs.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("_arr").alias("_arr_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        return (
             cands.join(a, "doc_a")
-            .join(b, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("common"))
+            .join(b, "doc_b")
+            .withColumn(
+                "common",
+                F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
         )
-    else:
-        a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-        b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-        common = (
-            a.join(b, "sh")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("common"))
-        )
+
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -223,11 +252,17 @@ def minhash_signatures(
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    aggs = [
+    return sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
+
+
+def _minhash_aggs(num_hashes: int) -> list[Column]:
+    """THE signing aggregate: ``mh_i = min(xxhash64(i, sh))`` — shared
+    by every signer (batch one-shot, fused dedup pipeline, incremental
+    store) so persisted signatures stay comparable."""
+    return [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -279,30 +314,47 @@ def minhash_dedup_pairs(
     *distinctive* content.  Band count trades recall for candidate
     volume: 8 bands × 8 rows keeps P(candidate) = sim^8 per band —
     ~0.999 recall at sim 0.9, ~0.4% at sim 0.5."""
-    sigs = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, unit=unit,
-        max_doc_freq=max_doc_freq,
-    )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     if verify_threshold is None:
-        return cands
-    # verify over the same guarded shingle set the signatures hashed
+        sigs = minhash_signatures(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, unit=unit,
+            max_doc_freq=max_doc_freq,
+        )
+        return lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # Fused plan: ONE explode + hot-filter + ONE per-doc aggregation
+    # produces both the MinHash signature (same _minhash_aggs kernel —
+    # identical values) and the verification shingle array.  The
+    # previous shape recomputed the whole shingle pipeline a second
+    # time for verification and then counted common shingles through a
+    # candidates×shingles explode-join; array_intersect over the
+    # per-doc arrays does the same count without materializing
+    # |cands|·|shingles/doc| rows.
     sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
     if max_doc_freq is not None:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
-    common = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    per_doc = sh.groupBy(id_col).agg(
+        *_minhash_aggs(num_hashes),
+        F.collect_list("sh").alias("_arr"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    cands = lsh_candidate_pairs(per_doc, id_col, num_hashes, bands)
+    a = per_doc.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_arr").alias("_arr_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = per_doc.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_arr").alias("_arr_b"),
+        F.col("sz").alias("sz_b"),
     )
     return (
-        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "common",
+            F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
@@ -361,22 +413,36 @@ def simhash(
     for w in range(words):
         seed = [F.lit(w)] if w else []  # word 0 keeps the unseeded hash
         tok = tok.withColumn(f"h{w}", F.xxhash64(*seed, F.col("t")))
+    # Packed vote counters: two per-bit one-counts share one 64-bit sum
+    # (bit 2j in the low lane, bit 2j+1 at offset 32), halving the
+    # per-row aggregate expression count of the hot map-side stage.
+    # The ±1 vote is recovered arithmetically: vote_b = 2·ones_b − n,
+    # so the sign test 2·ones_b > n gives bit-identical signatures.
+    # Lanes cannot interact below 2³¹ tokens per document (each row
+    # contributes ≤1 per lane; the low lane would need 2³² rows to
+    # carry into the high one).
     votes = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(
-                F.when(F.expr(f"(h{w} >> {b}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{w}_{b}")
+                F.expr(
+                    f"shiftleft((h{w} >> {2 * j + 1}) & 1, 32) | ((h{w} >> {2 * j}) & 1)"
+                )
+            ).alias(f"p{w}_{j}")
             for w in range(words)
-            for b in range(64)
-        ]
+            for j in range(32)
+        ],
     )
 
     def word(w: int) -> Column:
         sig = F.lit(0).cast("long")
-        for b in range(64):
-            sig = sig + F.when(
-                F.col(f"v{w}_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
+        for j in range(32):
+            ones_lo = F.col(f"p{w}_{j}").bitwiseAND(F.lit(4294967295))
+            ones_hi = F.shiftright(F.col(f"p{w}_{j}"), 32)
+            for b, ones in ((2 * j, ones_lo), (2 * j + 1, ones_hi)):
+                sig = sig + F.when(
+                    ones * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
         return sig
 
     if width == 64:
@@ -434,14 +500,19 @@ def simhash_near_pairs(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
         "band_id", "band_val",
     )
+    # popcount filter BEFORE the cross-band distinct: hamming is a
+    # function of the pair (one signature per doc), so filter-then-
+    # distinct yields the identical pair set while the distinct's
+    # shuffle input shrinks from every band collision (∝ n²/2^width)
+    # to just the near pairs — the filter runs pipelined on the join
+    # output without materializing it
     return (
         l.join(r, ["band_id", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -481,11 +552,10 @@ def _simhash_near_pairs_2w(
         F.col(hi).alias("b_hi"), F.col(lo).alias("b_lo"),
         "band_id", "band_val",
     )
+    # filter-then-distinct, same rationale as the 64-bit variant
     return (
         l.join(r, ["band_id", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "a_hi", "a_lo", "b_hi", "b_lo")
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.expr("a_hi ^ b_hi"))
@@ -493,6 +563,7 @@ def _simhash_near_pairs_2w(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -36,21 +36,120 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    preselect: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among all vectors
-    (self-matches excluded).  Queries are broadcast — the scan side
-    streams once; ranking is a per-query window (k small)."""
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    (self-matches excluded).
+
+    Two-phase exact plan (optimization guide §4.2: hand bulk numeric
+    work to vectorized native code, keep the decision arithmetic in the
+    engine).  The naive plan scored every (query, vector) pair with the
+    zip_with/aggregate fold — |V|·|Q| interpreted 64-step folds, which
+    at 20k vectors × 400 queries was ~100 s of pure expression
+    evaluation.  Phase 1 preselects ``preselect`` (default k+20)
+    candidates per query with ONE numpy matmul per Arrow batch: each
+    task scores its whole batch against the broadcast query matrix and
+    emits only its batch-local top-``preselect`` per query.  Phase 2
+    recomputes the cosine of the few surviving candidates with the SAME
+    JVM fold expressions the naive plan used and ranks with the same
+    (cosine DESC, neighbor_id ASC) window — so the output is identical
+    to the naive plan: the matmul (whose summation order differs from
+    the fold only in last-ulp rounding) merely has to rank the true
+    top-k inside the top-(k+20), a 20-deep safety margin against
+    ~1e-13 rounding noise on scores whose gaps are ~1e-3.
+
+    NaN cosines (zero-norm vectors) are mapped to +inf in phase 1 so
+    they are always preselected; phase 2 then reproduces the naive
+    plan's NaN-first-descending Spark ordering exactly.
+
+    The query side is collected to the driver and broadcast — the same
+    every-executor-holds-all-queries contract as the naive plan's
+    ``F.broadcast(q)``, bounded by |Q| (brute force is inherently
+    O(|V|·|Q|); this is the correctness-baseline operator, not the
+    scale path — see ``lsh_topk``/``ivf_topk``)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m_sel = max(k, preselect if preselect is not None else k + 20)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("q"),
     )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qrows = q.collect()
+    qid_arr = np.asarray([r[0] for r in qrows])
+    qmat = (
+        np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        if qrows
+        else np.zeros((0, 1))
+    )
+    qnorm = np.linalg.norm(qmat, axis=1)
+    sc = vectors.sparkSession.sparkContext
+    bq = sc.broadcast((qid_arr, qmat, qnorm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, q.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", v.schema["neighbor_id"].dataType),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    def select_candidates(batches):
+        qids, qm, qn = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            vn = np.linalg.norm(mat, axis=1)
+            vid = pdf["neighbor_id"].to_numpy()
+            # chunk the query axis so the sims matrix stays bounded
+            for s in range(0, nq, 512):
+                e = min(s + 512, nq)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (mat @ qm[s:e].T) / np.outer(vn, qn[s:e])
+                sims[np.isnan(sims)] = np.inf  # Spark sorts NaN first on DESC
+                sims[vid[:, None] == qids[None, s:e]] = -np.inf  # self-match
+                m = min(m_sel, n)
+                idx = np.argpartition(-sims, m - 1, axis=0)[:m]  # (m, e-s)
+                scores = np.take_along_axis(sims, idx, axis=0)
+                qcol = np.repeat(qids[s:e], m)
+                ncol = vid[idx.T.ravel()]
+                scol = scores.T.ravel()
+                keep = scol != -np.inf
+                yield pd.DataFrame(
+                    {
+                        query_id_col: qcol[keep],
+                        "neighbor_id": ncol[keep],
+                        "approx": scol[keep],
+                    }
+                )
+
+    nparts = sc.defaultParallelism
+    v1 = v.repartition(nparts) if v.rdd.getNumPartitions() < nparts else v
+    stage1 = v1.mapInPandas(select_candidates, out_schema)
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        stage1.withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") <= m_sel)
+        .select(query_id_col, "neighbor_id")
+    )
+    # phase 2: exact re-score of the candidates with the SAME fold
+    # expressions and window ordering the naive plan used
     scored = (
-        v.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cosine", _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+        v.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -104,11 +203,15 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to the query's bucket.
     Recall < 1 by construction; multi-probe (flipping one bit) keeps it
     high while the join stays keyed on bucket — linear scale path."""
+    # norms computed ONCE per vector/query before the join (identical
+    # expression → identical doubles; the naive form re-evaluated both
+    # 64-step norm folds per candidate PAIR), and duplicate candidates
+    # from overlapping probes are dropped BEFORE the scoring fold runs
     v = hyperplane_buckets(vectors, dim, n_planes, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         "bucket",
-    )
+    ).withColumn("_nv", _norm(F.col("v")))
     q0 = hyperplane_buckets(queries, dim, n_planes, vec_col=vec_col)
     # multi-probe: own bucket + all 1-bit flips
     probes = F.array(
@@ -118,22 +221,23 @@ def lsh_topk(
     q = q0.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("q"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_nq"),
         F.explode(probes).alias("bucket"),
     )
     scored = (
         v.join(F.broadcast(q), ["bucket"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn(
             "cosine",
-            _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))),
+            _dot(F.col("q"), F.col("v")) / (F.col("_nq") * F.col("_nv")),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.dropDuplicates([query_id_col, "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine")
     )
@@ -207,30 +311,32 @@ def ivf_topk(
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
+    # per-row norms + pre-scoring dedup, same rationale as lsh_topk
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         assign_list(F.col(vec_col)).alias("list_id"),
-    )
+    ).withColumn("_nv", _norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("q"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_nq"),
         F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
     scored = (
         v.join(F.broadcast(q), ["list_id"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn(
             "cosine",
-            _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))),
+            _dot(F.col("q"), F.col("v")) / (F.col("_nq") * F.col("_nv")),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.dropDuplicates([query_id_col, "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine")
     )
@@ -289,11 +395,18 @@ def cosine_neardup_pairs(
         F.col("bucket"),
         *[F.expr(f"bucket ^ {1 << p}").cast("long") for p in range(n_planes)],
     )
+    # per-row norm computed once before the self-join (identical
+    # expression → identical doubles; previously re-folded per pair)
+    b = b.withColumn("_n", _norm(F.col("_v")))
     l = b.select(
         F.col(id_col).alias("vec_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("_na"),
         F.explode(probes).alias("bucket"),
     )
-    r = b.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"), "bucket")
+    r = b.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("_nb"), "bucket",
+    )
     cands = (
         l.join(r, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
@@ -302,8 +415,7 @@ def cosine_neardup_pairs(
     return (
         cands.withColumn(
             "cosine",
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
         )
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
