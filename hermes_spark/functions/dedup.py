@@ -38,6 +38,23 @@ def exact_dedup(
 
 # -- character shingles -----------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-split parallelism guard (guide §6): a few MB of compressed
+    text scans as 1-4 tasks (Spark sizes splits by input bytes, and a
+    single-row-group parquet file cannot split at all) yet explodes
+    into tens of millions of shingle/token rows — the whole signing
+    stage then runs on a fraction of the cluster.  Round-robin
+    repartition to the default parallelism before the explode; the
+    shuffle moves only the raw text (MBs), and the guard is a no-op
+    whenever the scan already has enough partitions (at real scale it
+    always does).  Safe for every consumer here: all downstream
+    aggregates are order-insensitive (min/count/doc-frequency) or
+    explicitly sorted (sort_array prefix ranking)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def char_shingles(col: str | Column, n: int = 5) -> Column:
     """All length-n character substrings (with duplicates).
 
@@ -100,7 +117,7 @@ def _distinct_shingles(
     if hashed:
         arr = F.transform(arr, lambda s: F.xxhash64(s))
     return (
-        df.select(
+        _spread(df).select(
             F.col(id_col),
             F.explode(F.array_distinct(arr)).alias("sh"),
         )
@@ -397,7 +414,7 @@ def simhash(
     whatever verifies the candidates."""
     if width not in (64, 128):
         raise ValueError(f"simhash width must be 64 or 128, got {width}")
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
     )
@@ -413,36 +430,29 @@ def simhash(
     for w in range(words):
         seed = [F.lit(w)] if w else []  # word 0 keeps the unseeded hash
         tok = tok.withColumn(f"h{w}", F.xxhash64(*seed, F.col("t")))
-    # Packed vote counters: two per-bit one-counts share one 64-bit sum
-    # (bit 2j in the low lane, bit 2j+1 at offset 32), halving the
-    # per-row aggregate expression count of the hot map-side stage.
-    # The ±1 vote is recovered arithmetically: vote_b = 2·ones_b − n,
-    # so the sign test 2·ones_b > n gives bit-identical signatures.
-    # Lanes cannot interact below 2³¹ tokens per document (each row
-    # contributes ≤1 per lane; the low lane would need 2³² rows to
-    # carry into the high one).
+    # NOTE (round 7): a packed-lane variant (two per-bit one-counters
+    # per 64-bit sum, vote recovered as 2·ones−n) was measured: faster
+    # in isolation (1.7 s vs 2.2 s at sf1.0) but catastrophically
+    # slower composed into q_simhash (final aggregates went from
+    # seconds to 6+ MINUTES when AQE fuses the reused final aggregate
+    # with downstream consumers — SQL-node metrics in
+    # OPTIMIZATION_r07.md).  The plain per-bit vote form is kept.
     votes = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
         *[
             F.sum(
-                F.expr(
-                    f"shiftleft((h{w} >> {2 * j + 1}) & 1, 32) | ((h{w} >> {2 * j}) & 1)"
-                )
-            ).alias(f"p{w}_{j}")
+                F.when(F.expr(f"(h{w} >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{w}_{b}")
             for w in range(words)
-            for j in range(32)
-        ],
+            for b in range(64)
+        ]
     )
 
     def word(w: int) -> Column:
         sig = F.lit(0).cast("long")
-        for j in range(32):
-            ones_lo = F.col(f"p{w}_{j}").bitwiseAND(F.lit(4294967295))
-            ones_hi = F.shiftright(F.col(f"p{w}_{j}"), 32)
-            for b, ones in ((2 * j, ones_lo), (2 * j + 1, ones_hi)):
-                sig = sig + F.when(
-                    ones * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
-                ).otherwise(F.lit(0).cast("long"))
+        for b in range(64):
+            sig = sig + F.when(
+                F.col(f"v{w}_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         return sig
 
     if width == 64:

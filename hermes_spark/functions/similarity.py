@@ -224,10 +224,14 @@ def lsh_topk(
         _norm(F.col(vec_col).cast("array<double>")).alias("_nq"),
         F.explode(probes).alias("bucket"),
     )
+    # No dedup needed: every vector carries exactly ONE bucket value and
+    # a query's probe values (bucket, bucket^2^0 … bucket^2^{p-1}) are
+    # pairwise distinct, so each (query, neighbor) pair can match at
+    # most one probe — the defensive dropDuplicates the naive form ran
+    # was a no-op that shuffled the full embedding arrays
     scored = (
         v.join(F.broadcast(q), ["bucket"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        .dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn(
             "cosine",
             _dot(F.col("q"), F.col("v")) / (F.col("_nq") * F.col("_nv")),
@@ -311,7 +315,10 @@ def ivf_topk(
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
-    # per-row norms + pre-scoring dedup, same rationale as lsh_topk
+    # per-row norms, same rationale as lsh_topk; no dedup needed —
+    # every vector is assigned exactly ONE list and a query's n_probe
+    # list ids (argsort prefix) are pairwise distinct, so each
+    # (query, neighbor) pair can match at most one probe
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -326,7 +333,6 @@ def ivf_topk(
     scored = (
         v.join(F.broadcast(q), ["list_id"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        .dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn(
             "cosine",
             _dot(F.col("q"), F.col("v")) / (F.col("_nq") * F.col("_nv")),
@@ -407,11 +413,12 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("vec_b"), F.col("_v").alias("vb"),
         F.col("_n").alias("_nb"), "bucket",
     )
-    cands = (
-        l.join(r, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    # No dedup needed: the right side carries each vector's single
+    # bucket value and the left side's probe values are pairwise
+    # distinct, so an ordered pair (vec_a < vec_b) matches at most one
+    # probe — the defensive dropDuplicates was a no-op that shuffled
+    # both embedding arrays per candidate
+    cands = l.join(r, "bucket").where(F.col("vec_a") < F.col("vec_b"))
     return (
         cands.withColumn(
             "cosine",
