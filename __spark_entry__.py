@@ -37,6 +37,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.select(casts)
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard for compute-heavy map stages (guide §6):
+    the testdata tables are single-digit-MB single-row-group parquet
+    files, so Spark plans 1-6 scan tasks and every scan-side expression
+    (sha256 checksums, decimal casts, partial aggregates) runs on a
+    fraction of the cores.  Round-robin repartition to the default
+    parallelism — conditional, so at real scale (wide scans) it is a
+    no-op and costs nothing.  Only used by queries whose results are
+    order-independent (exact decimal/count aggregates, deterministic
+    windows, joins)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 # ---------------------------------------------------------------------------
 # CDC / engine operators (SURVEY.md §2)
 # ---------------------------------------------------------------------------
@@ -46,7 +61,9 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders → insert/update/delete classification."""
     from hermes_spark.operators.diff import snapshot_diff
 
-    orders = _t(spark, sf_dir, "orders")
+    # _wide: both snapshot sides derive from this scan; the per-row
+    # sha256 checksum otherwise runs on the file's 2 row-group tasks
+    orders = _wide(_t(spark, sf_dir, "orders"))
     old = orders.where(F.col("o_orderkey") % 10 != 7).withColumn(
         "o_totalprice",
         F.when(F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") * 2).otherwise(
@@ -63,7 +80,9 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merkle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 deep-hash analog: per-user merkle digest over sorted
     (event_id, sha256(event_type)) leaves."""
-    ev = _t(spark, sf_dir, "events")
+    # _wide: per-row sha256 + per-user collect otherwise run on the
+    # single-row-group file's one scan task
+    ev = _wide(_t(spark, sf_dir, "events"))
     leaf = F.concat_ws(
         ":", F.format_string("%010d", F.col("event_id")), F.sha2(F.col("event_type"), 256)
     )
@@ -393,6 +412,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (batch gap-based form) over the events stream."""
     from hermes_spark.operators.windows import sessionize_batch
 
+    # (_wide measured slower here: the session window re-shuffles by
+    # user_id anyway and the scan-side work is trivial)
     ev = _t(spark, sf_dir, "events")
     s = sessionize_batch(ev, key="user_id", ts_col="ts", gap_seconds=1800)
     return s.select(
@@ -524,7 +545,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per market segment (rank window)."""
     from pyspark.sql import Window as W
 
-    o = _t(spark, sf_dir, "orders")
+    o = _wide(_t(spark, sf_dir, "orders"))
     c = _t(spark, sf_dir, "customer")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "c_mktsegment", "o_orderkey", "o_totalprice"
@@ -541,8 +562,12 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (decimal-exact aggregates)."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    # _wide AFTER the pushed-down date filter: the decimal casts and
+    # partial aggregation otherwise run on the file's 6 row-group tasks
+    li = _wide(
+        _t(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(13,2)")
@@ -562,8 +587,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with broadcast dims: revenue per region/nation."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    # _wide: with broadcast dims the whole join+agg pipeline runs
+    # scan-side — 6 row-group tasks without the spread.  orders gets a
+    # deliberate SHUFFLE_HASH (guide §3.1): the planner's size estimate
+    # auto-broadcast a 1.5M-row build side whose construction cost ~2 s
+    # (measured A/B: broadcast 4.9 s, shuffle-hash 2.5 s, sort-merge
+    # 3.0 s at sf1.0); a shuffled hash join also stays the right
+    # strategy when orders outgrows any broadcast threshold.
+    li = _wide(_t(spark, sf_dir, "lineitem"))
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -956,7 +988,7 @@ def q_merkle_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (same oracle): the salting guard for hot keys."""
     from hermes_spark.operators.checksum import salted_merkle
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _wide(_t(spark, sf_dir, "events"))
     leaf = F.concat_ws(
         ":", F.format_string("%010d", F.col("event_id")), F.sha2(F.col("event_type"), 256)
     )

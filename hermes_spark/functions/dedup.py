@@ -25,7 +25,11 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the smallest id per identical (normalized) text; returns
     survivors with their duplicate count."""
-    fp = df.select(F.col(id_col), normalized_fingerprint(text_col).alias("_fp"))
+    # _spread: the sha256 fingerprint runs scan-side; a tiny compressed
+    # corpus otherwise hashes on 1-2 tasks (guide §6)
+    fp = _spread(df).select(
+        F.col(id_col), normalized_fingerprint(text_col).alias("_fp")
+    )
     return (
         fp.groupBy("_fp")
         .agg(
