@@ -96,6 +96,27 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _distinct_shingles_with_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    unit: str = "char",
+) -> DataFrame:
+    """(id, sh, _df) — hashed distinct shingles with each shingle's
+    document frequency attached via a window count over the single
+    exploded stream.  One explode + one exchange: the aggregate-then-
+    join alternative (groupBy("sh").count() ⋈ sh) evaluates the whole
+    shingling pipeline twice because the explode feeds both join sides
+    (measured ~80 s CPU per extra pass at sf1.0)."""
+    from pyspark.sql import Window
+
+    sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
+    return sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
+
+
 def _distinct_shingles(
     df: DataFrame,
     id_col: str,
@@ -154,18 +175,16 @@ def ngram_jaccard_pairs(
     all-sharing-pairs join.  ``max_doc_freq`` additionally drops
     shingles in more than that many docs outright (boilerplate guard;
     changes semantics, mirrored by the oracle)."""
-    sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
-
     if prefix_filter:
-        # ONE doc-frequency aggregation serves both the hot-shingle
+        # ONE windowed doc-frequency pass serves both the hot-shingle
         # guard and the rarest-first prefix ranking (previously two
-        # separate 20M-row shuffles computing the same counts), and the
-        # per-doc row_number window over every (doc, shingle) row is
-        # replaced by a groupBy collect + in-row sort_array: same
-        # (_df, sh) ascending order, same prefix — but sorting ~100-
-        # element arrays per doc instead of one global 20M-row sort.
-        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-        sh2 = sh.join(dfreq, "sh")
+        # separate 20M-row shuffles computing the same counts, each
+        # re-evaluating the shingling explode), and the per-doc
+        # row_number window over every (doc, shingle) row is replaced
+        # by a groupBy collect + in-row sort_array: same (_df, sh)
+        # ascending order, same prefix — but sorting ~100-element
+        # arrays per doc instead of one global 20M-row sort.
+        sh2 = _distinct_shingles_with_df(df, id_col, text_col, n, unit)
         if max_doc_freq is not None:
             sh2 = sh2.where(F.col("_df") <= max_doc_freq)
         docs = sh2.groupBy(id_col).agg(
@@ -342,32 +361,48 @@ def minhash_dedup_pairs(
         )
         return lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     # Fused plan: ONE explode + hot-filter + ONE per-doc aggregation
-    # produces both the MinHash signature (same _minhash_aggs kernel —
-    # identical values) and the verification shingle array.  The
-    # previous shape recomputed the whole shingle pipeline a second
-    # time for verification and then counted common shingles through a
+    # (collect_list + count) serves every consumer; the MinHash
+    # signature is then a PROJECTION over the per-doc array —
+    # ``mh_i = array_min(transform(arr, s -> xxhash64(i, s)))`` — which
+    # is value-identical to the ``_minhash_aggs`` groupBy kernel (min
+    # over the same hashed set, so persisted signatures stay
+    # comparable).  Keeping the signature out of the AGGREGATE matters:
+    # with ``agg(mins…, collect_list)`` Catalyst's column pruning split
+    # the aggregate into two (a min-only one for the band join, an
+    # array-only one for verification) and the whole explode+hot-filter
+    # pipeline ran twice (measured: two ~75 s-CPU stages at sf1.0).
+    # The previous shape additionally counted common shingles through a
     # candidates×shingles explode-join; array_intersect over the
     # per-doc arrays does the same count without materializing
     # |cands|·|shingles/doc| rows.
-    sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
     if max_doc_freq is not None:
-        hot = sh.groupBy("sh").count().where(F.col("count") > max_doc_freq)
-        sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    per_doc = sh.groupBy(id_col).agg(
-        *_minhash_aggs(num_hashes),
-        F.collect_list("sh").alias("_arr"),
-        F.count(F.lit(1)).cast("long").alias("sz"),
-    )
-    cands = lsh_candidate_pairs(per_doc, id_col, num_hashes, bands)
+        sh = _distinct_shingles_with_df(df, id_col, text_col, n, unit).where(
+            F.col("_df") <= max_doc_freq
+        )
+    else:
+        sh = _distinct_shingles(df, id_col, text_col, n, unit, hashed=True)
+    # the aggregate carries ONLY the array: even a count() column here
+    # re-splits the aggregate (the signature branch prunes it away and
+    # Catalyst plans a second aggregate); sz is size(_arr) downstream
+    per_doc = sh.groupBy(id_col).agg(F.collect_list("sh").alias("_arr"))
+    def _mh(i: int) -> Column:
+        # single-arg lambda is load-bearing: a two-arg lambda would
+        # receive the ELEMENT INDEX as its second argument
+        return F.array_min(
+            F.transform("_arr", lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    sigs = per_doc.select(F.col(id_col), *[_mh(i) for i in range(num_hashes)])
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     a = per_doc.select(
         F.col(id_col).alias("doc_a"),
         F.col("_arr").alias("_arr_a"),
-        F.col("sz").alias("sz_a"),
+        F.size("_arr").cast("long").alias("sz_a"),
     )
     b = per_doc.select(
         F.col(id_col).alias("doc_b"),
         F.col("_arr").alias("_arr_b"),
-        F.col("sz").alias("sz_b"),
+        F.size("_arr").cast("long").alias("sz_b"),
     )
     return (
         cands.join(a, "doc_a")
