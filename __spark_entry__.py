@@ -499,7 +499,9 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events (per user_id) and localize divergence."""
     from hermes_spark.operators.reconcile import reconcile
 
-    ev = _t(spark, sf_dir, "events").select(
+    # _wide: per-row sha256 digests on both compared sides otherwise
+    # run on the single-row-group file's one scan task
+    ev = _wide(_t(spark, sf_dir, "events")).select(
         F.col("user_id").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
         F.col("event_type").alias("text"),
@@ -659,7 +661,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hermes_spark.functions.text import lang_id
 
-    return _t(spark, sf_dir, "documents").select(
+    # _wide: the marker-scoring expressions run scan-side
+    return _wide(_t(spark, sf_dir, "documents")).select(
         "doc_id", lang_id("text").alias("lang_pred")
     )
 
@@ -1187,7 +1190,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically per doc (the corpus itself is clean)."""
     from hermes_spark.functions.curation import pii_scrub
 
-    d = _t(spark, sf_dir, "documents").select(
+    # _wide: the regex chain runs scan-side — 1 row-group task otherwise
+    d = _wide(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat_ws(
             " ",
@@ -1254,7 +1258,8 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the IEEE scale from the same floats."""
     from hermes_spark.functions.similarity import quantize_embeddings
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # _wide: per-vector array math runs scan-side (1 row-group file)
+    e = _wide(_t(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     # q is serialized to one string: array-typed result columns hash
     # differently per client (numpy vs list), the values don't
     return quantize_embeddings(e).select(
@@ -1347,7 +1352,8 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every fraction from the same constructed text."""
     from hermes_spark.functions.curation import repetition_stats
 
-    d = _t(spark, sf_dir, "documents").select(
+    # _wide: line/token stats run scan-side (1 row-group file)
+    d = _wide(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat_ws(
             "\n",
