@@ -813,11 +813,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hermes_spark.functions.dedup import simhash, simhash_near_pairs
 
     both = _docs_plus_noisy(spark, sf_dir)
-    sigs = simhash(both)
+    # eager localCheckpoint: sigs feeds four plan legs (band join l/r,
+    # exact-true a/b); materializing the ~8-byte-per-doc signature set
+    # once replaces four copies of the explode+64-vote aggregate
+    # subtree AND shrinks the 60-aggregate static plan whose compile +
+    # stage scheduling dominated the cell (measured 5.8 → 3.4 s at 10×
+    # scale, 3.8 → 2.4 s at sf0.01; the round-start tree measured the
+    # same barrier WORSE — 21-29 s vs 15-18 s — because the enumerate
+    # join it then fed dwarfed the recompute, so this flip is a
+    # consequence of the id_offset pushdown above)
+    sigs = simhash(both).localCheckpoint(eager=True)
+    # id_offset pushes the (a, a+10000) pair restriction INTO the band
+    # join as an equi-key — identical rows to the old post-filter
+    # (pinned row-exact by test_round7_opts), but the join no longer
+    # enumerates every band collision (∝ n²/2⁸ here) to discard them
     found = (
-        simhash_near_pairs(sigs, max_hamming=6, bands=8)
-        .where(F.col("doc_b") - F.col("doc_a") == 10000)
-        .select("doc_a")
+        simhash_near_pairs(sigs, max_hamming=6, bands=8, id_offset=10000)
+        .select("doc_a", F.lit(1).alias("_f"))
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"),
                     F.col("simhash").alias("sig_a"))
@@ -826,19 +838,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_true = (
         a.join(b, "doc_a")
         .where(F.bit_count(F.expr("sig_a ^ sig_b")) <= 6)
-        .select("doc_a")
+        .select("doc_a", F.lit(1).alias("_e"))
     )
-    sym_diff = exact_true.join(found, "doc_a", "left_anti").unionByName(
-        found.join(exact_true, "doc_a", "left_anti")
+    # one full-outer join replaces the two anti-joins of the old
+    # sym_diff (each leg re-evaluated the whole signature pipeline —
+    # ~10 copies of the explode+64-vote aggregate in the static plan;
+    # compile + stage scheduling dominated the cell wall at every SF).
+    # doc_a is unique on both sides (one signature per doc, one pair
+    # per offset doc), so |A△B| = rows of the full join where either
+    # marker is NULL and |A| = count(_e) — pinned row-exact by
+    # test_round7_opts.
+    fo = exact_true.join(found, "doc_a", "full_outer")
+    stats = fo.agg(
+        F.sum(
+            (F.col("_e").isNull() | F.col("_f").isNull()).cast("long")
+        ).alias("_diff"),
+        F.count("_e").alias("_near"),
     )
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("_diff")))
-        .crossJoin(exact_true.agg(F.count(F.lit(1)).alias("_near")))
+        .crossJoin(stats)
         .select(
             "n_docs",
-            (F.col("_diff") == 0).alias("banded_lossless_on_true_pairs"),
+            (F.coalesce(F.col("_diff"), F.lit(0)) == 0).alias(
+                "banded_lossless_on_true_pairs"
+            ),
             (F.col("_near") * 10 >= F.col("n_docs") * 9).alias(
                 "noisy_copies_near_ge_90pct"
             ),
@@ -870,11 +895,13 @@ def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     both = _docs_plus_noisy(spark, sf_dir)
-    sigs = simhash128(both)
+    # same eager-checkpoint rationale as q_simhash (sigs feeds found
+    # l/r, a, b, and the c128 candidate leg — five aggregate subtrees)
+    sigs = simhash128(both).localCheckpoint(eager=True)
+    # same offset-as-join-key pushdown as q_simhash (row-exact pinned)
     found = (
-        simhash128_near_pairs(sigs, max_hamming=3)
-        .where(F.col("doc_b") - F.col("doc_a") == 10000)
-        .select("doc_a")
+        simhash128_near_pairs(sigs, max_hamming=3, id_offset=10000)
+        .select("doc_a", F.lit(1).alias("_f"))
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"),
                     F.col("sig_hi").alias("a_hi"), F.col("sig_lo").alias("a_lo"))
@@ -884,10 +911,17 @@ def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.expr("a_hi ^ b_hi")) + F.bit_count(F.expr("a_lo ^ b_lo"))
     )
     joined = a.join(b, "doc_a").withColumn("_h", ham)
-    exact_true = joined.where(F.col("_h") <= 3).select("doc_a")
+    exact_true = joined.where(F.col("_h") <= 3).select(
+        "doc_a", F.lit(1).alias("_e")
+    )
     near6 = joined.where(F.col("_h") <= 12).select("doc_a")
-    sym_diff = exact_true.join(found, "doc_a", "left_anti").unionByName(
-        found.join(exact_true, "doc_a", "left_anti")
+    # full-outer sym-diff count, same one-pass assembly as q_simhash
+    # (doc_a unique on both sides; pinned row-exact by test_round7_opts)
+    fo = exact_true.join(found, "doc_a", "full_outer")
+    diff_stat = fo.agg(
+        F.sum(
+            (F.col("_e").isNull() | F.col("_f").isNull()).cast("long")
+        ).alias("_diff")
     )
     # candidate volumes: band-join pairs pre-popcount (max_hamming
     # vacuous ⇒ pure candidate set), 64- vs 128-bit on the same corpus
@@ -896,13 +930,15 @@ def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("_diff")))
+        .crossJoin(diff_stat)
         .crossJoin(near6.agg(F.count(F.lit(1)).alias("_near")))
         .crossJoin(c64.agg(F.count(F.lit(1)).alias("_c64")))
         .crossJoin(c128.agg(F.count(F.lit(1)).alias("_c128")))
         .select(
             "n_docs",
-            (F.col("_diff") == 0).alias("banded_lossless_on_true_pairs"),
+            (F.coalesce(F.col("_diff"), F.lit(0)) == 0).alias(
+                "banded_lossless_on_true_pairs"
+            ),
             (F.col("_near") * 10 >= F.col("n_docs") * 9).alias(
                 "noisy_copies_near_ge_90pct"
             ),

@@ -506,6 +506,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    id_offset: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming, using the
     pigeonhole band trick (any pair within distance d < bands shares at
@@ -522,10 +523,22 @@ def simhash_near_pairs(
     (pigeonhole needs d < bands), so at ≥10⁸-doc scale sign with
     ``width=128``, and/or prefilter hot tokens with
     ``max_token_doc_freq`` before signing; the per-band join itself
-    stays uniform and broadcast-free either way."""
+    stays uniform and broadcast-free either way.
+
+    ``id_offset``: restrict the output to pairs with
+    ``doc_b = doc_a + id_offset`` — the SAME rows as filtering the
+    unrestricted result by ``doc_b - doc_a == id_offset`` (pinned
+    row-exact by ``tests/test_round7_opts.py``), but the restriction is
+    pushed INTO the band join as an extra equi-key (guide §8: Catalyst
+    cannot normalize the cross-side arithmetic predicate into a join
+    key, so without this the join enumerates every band collision —
+    ∝ n²/2^band_width rows — only to discard all but the offset pairs).
+    The band-value equality stays part of the join: a pair is emitted
+    only if some band of the real signatures matches."""
     if "sig_hi" in sig.columns and "sig_lo" in sig.columns:
         return _simhash_near_pairs_2w(
-            sig, id_col, max_hamming, bands, sig_cols=("sig_hi", "sig_lo")
+            sig, id_col, max_hamming, bands, sig_cols=("sig_hi", "sig_lo"),
+            id_offset=id_offset,
         )
     width = 64 // bands
     mask = (1 << width) - 1
@@ -549,6 +562,13 @@ def simhash_near_pairs(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
         "band_id", "band_val",
     )
+    if id_offset is not None:
+        # doc_b = doc_a + id_offset as a JOIN KEY: the hash join now
+        # probes on (band_id, band_val, doc_a+offset) and output rows
+        # collapse from every band collision to just the offset pairs
+        l = l.withColumn("_pair_b", F.col("doc_a") + F.lit(id_offset))
+        r = r.withColumn("_pair_b", F.col("doc_b"))
+    on = ["band_id", "band_val"] + (["_pair_b"] if id_offset is not None else [])
     # popcount filter BEFORE the cross-band distinct: hamming is a
     # function of the pair (one signature per doc), so filter-then-
     # distinct yields the identical pair set while the distinct's
@@ -556,7 +576,7 @@ def simhash_near_pairs(
     # to just the near pairs — the filter runs pipelined on the join
     # output without materializing it
     return (
-        l.join(r, ["band_id", "band_val"])
+        l.join(r, on)
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")))
         .where(F.col("hamming") <= max_hamming)
@@ -571,6 +591,7 @@ def _simhash_near_pairs_2w(
     max_hamming: int,
     bands: int,
     sig_cols: tuple[str, str],
+    id_offset: int | None = None,
 ) -> DataFrame:
     """128-bit band join: 4×32-bit pigeonhole bands — lossless for
     d < bands exactly like the 64-bit variant, but band collisions fall
@@ -601,9 +622,14 @@ def _simhash_near_pairs_2w(
         F.col(hi).alias("b_hi"), F.col(lo).alias("b_lo"),
         "band_id", "band_val",
     )
+    if id_offset is not None:
+        # same offset-as-join-key pushdown as the 64-bit variant
+        l = l.withColumn("_pair_b", F.col("doc_a") + F.lit(id_offset))
+        r = r.withColumn("_pair_b", F.col("doc_b"))
+    on = ["band_id", "band_val"] + (["_pair_b"] if id_offset is not None else [])
     # filter-then-distinct, same rationale as the 64-bit variant
     return (
-        l.join(r, ["band_id", "band_val"])
+        l.join(r, on)
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "hamming",
@@ -631,7 +657,8 @@ def simhash128_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    id_offset: int | None = None,
 ) -> DataFrame:
     """Compatibility alias — ``simhash_near_pairs`` detects the
     signature width from the columns."""
-    return simhash_near_pairs(sig, id_col, max_hamming, bands)
+    return simhash_near_pairs(sig, id_col, max_hamming, bands, id_offset)

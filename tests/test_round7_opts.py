@@ -157,6 +157,124 @@ def test_simhash_near_pairs_filter_before_distinct(spark, docs):
     assert _rows(new) == _rows(old)
 
 
+def test_simhash_near_pairs_id_offset_pushdown_row_exact(spark, docs):
+    """id_offset pushes doc_b = doc_a + offset into the band join as an
+    equi-key — must yield EXACTLY the unrestricted pair set filtered by
+    doc_b - doc_a == offset, both signature widths."""
+    from hermes_spark.functions.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    for width, mh, bands in ((64, 6, 8), (128, 3, 4)):
+        sigs = simhash(docs, width=width)
+        fast = simhash_near_pairs(
+            sigs, max_hamming=mh, bands=bands, id_offset=10000
+        )
+        slow = simhash_near_pairs(sigs, max_hamming=mh, bands=bands).where(
+            F.col("doc_b") - F.col("doc_a") == 10000
+        )
+        assert _rows(fast) == _rows(slow), f"width={width}"
+        assert fast.columns == slow.columns, f"width={width}"
+
+
+def test_q_simhash_verdict_assembly_row_exact(spark, sf_dir):
+    """The full-outer sym-diff assembly in q_simhash must produce the
+    IDENTICAL output row to the old two-anti-join + per-leg-aggregate
+    shape (restated here)."""
+    import __spark_entry__ as em
+    from hermes_spark.functions.dedup import simhash, simhash_near_pairs
+
+    both = em._docs_plus_noisy(spark, sf_dir)
+    sigs = simhash(both)
+    found = (
+        simhash_near_pairs(sigs, max_hamming=6, bands=8)
+        .where(F.col("doc_b") - F.col("doc_a") == 10000)
+        .select("doc_a")
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sig_a"))
+    b = sigs.select((F.col("doc_id") - 10000).alias("doc_a"),
+                    F.col("simhash").alias("sig_b"))
+    exact_true = (
+        a.join(b, "doc_a")
+        .where(F.bit_count(F.expr("sig_a ^ sig_b")) <= 6)
+        .select("doc_a")
+    )
+    sym_diff = exact_true.join(found, "doc_a", "left_anti").unionByName(
+        found.join(exact_true, "doc_a", "left_anti")
+    )
+    docs_t = em._t(spark, sf_dir, "documents")
+    old = (
+        docs_t.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("_diff")))
+        .crossJoin(exact_true.agg(F.count(F.lit(1)).alias("_near")))
+        .select(
+            "n_docs",
+            (F.col("_diff") == 0).alias("banded_lossless_on_true_pairs"),
+            (F.col("_near") * 10 >= F.col("n_docs") * 9).alias(
+                "noisy_copies_near_ge_90pct"
+            ),
+        )
+    )
+    new = em.q_simhash(spark, sf_dir)
+    assert new.columns == old.columns
+    assert _rows(new) == _rows(old)
+
+
+def test_q_simhash128_verdict_assembly_row_exact(spark, sf_dir):
+    """Same pin for the 128-bit verdict query."""
+    import __spark_entry__ as em
+    from hermes_spark.functions.dedup import (
+        simhash,
+        simhash128,
+        simhash128_near_pairs,
+        simhash_near_pairs,
+    )
+
+    both = em._docs_plus_noisy(spark, sf_dir)
+    sigs = simhash128(both)
+    found = (
+        simhash128_near_pairs(sigs, max_hamming=3)
+        .where(F.col("doc_b") - F.col("doc_a") == 10000)
+        .select("doc_a")
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig_hi").alias("a_hi"), F.col("sig_lo").alias("a_lo"))
+    b = sigs.select((F.col("doc_id") - 10000).alias("doc_a"),
+                    F.col("sig_hi").alias("b_hi"), F.col("sig_lo").alias("b_lo"))
+    ham = (
+        F.bit_count(F.expr("a_hi ^ b_hi")) + F.bit_count(F.expr("a_lo ^ b_lo"))
+    )
+    joined = a.join(b, "doc_a").withColumn("_h", ham)
+    exact_true = joined.where(F.col("_h") <= 3).select("doc_a")
+    near6 = joined.where(F.col("_h") <= 12).select("doc_a")
+    sym_diff = exact_true.join(found, "doc_a", "left_anti").unionByName(
+        found.join(exact_true, "doc_a", "left_anti")
+    )
+    c64 = simhash_near_pairs(simhash(both), max_hamming=64, bands=4)
+    c128 = simhash128_near_pairs(sigs, max_hamming=128)
+    docs_t = em._t(spark, sf_dir, "documents")
+    old = (
+        docs_t.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("_diff")))
+        .crossJoin(near6.agg(F.count(F.lit(1)).alias("_near")))
+        .crossJoin(c64.agg(F.count(F.lit(1)).alias("_c64")))
+        .crossJoin(c128.agg(F.count(F.lit(1)).alias("_c128")))
+        .select(
+            "n_docs",
+            (F.col("_diff") == 0).alias("banded_lossless_on_true_pairs"),
+            (F.col("_near") * 10 >= F.col("n_docs") * 9).alias(
+                "noisy_copies_near_ge_90pct"
+            ),
+            (F.col("_c128") < F.col("_c64")).alias("band_candidates_reduced"),
+        )
+    )
+    new = em.q_simhash128(spark, sf_dir)
+    assert new.columns == old.columns
+    assert _rows(new) == _rows(old)
+
+
 def test_ngram_prefix_via_sorted_array_matches_window_ranking(spark, docs):
     """The groupBy collect + sort_array prefix must select exactly the
     rows the row_number window ranking selected (same (_df, sh) order,
