@@ -50,8 +50,11 @@ from hermes_spark.tables import ParquetMergeTable
 # (shingle construction, shingle hashing, per-index hashing).  A store
 # written by a DIFFERENT family is useless — its signatures never
 # match newly-computed ones, so cross-batch dedup would silently
-# degrade to batch-scoped.  v2 = int64-hashed shingles.
-SIG_FAMILY = "minhash-xxh64-shingle64-v2"
+# degrade to batch-scoped.  v2 = int64-hashed shingles; v3 = shingle
+# hash combines per-token hashes (xxhash64 of n consecutive token
+# hashes) instead of hashing the joined string — same shingle SETS,
+# different opaque values (round-7 map-stage optimization).
+SIG_FAMILY = "minhash-xxh64-tokenhash64-v3"
 
 
 def _check_sig_family(path: str) -> None:

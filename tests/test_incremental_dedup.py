@@ -252,7 +252,9 @@ def test_signature_store_family_marker(spark, tmp_work):
     store = os.path.join(tmp_work, "sigstore5")
     incremental_minhash_dedup(spark, _docs(spark, [(1, BASE)]), store)
     marker = os.path.join(store, "_sig_family.json")
-    assert _json.load(open(marker))["family"].endswith("-v2")
+    from hermes_spark.functions.incremental import SIG_FAMILY
+
+    assert _json.load(open(marker))["family"] == SIG_FAMILY
 
     with open(marker, "w") as f:
         _json.dump({"family": "minhash-legacy-v1"}, f)
