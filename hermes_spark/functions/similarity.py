@@ -207,7 +207,13 @@ def lsh_topk(
     # expression → identical doubles; the naive form re-evaluated both
     # 64-step norm folds per candidate PAIR), and duplicate candidates
     # from overlapping probes are dropped BEFORE the scoring fold runs
-    v = hyperplane_buckets(vectors, dim, n_planes, vec_col=vec_col).select(
+    # input-split parallelism guard (guide §6, same as brute_force's
+    # stage-1 spread): a single-row-group embeddings file scans as ONE
+    # task, and without this the bucket UDF + probe join + scoring fold
+    # all run serially on it (measured: the whole operator on 1 task)
+    from hermes_spark.functions.dedup import _spread
+
+    v = hyperplane_buckets(_spread(vectors), dim, n_planes, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         "bucket",
@@ -319,7 +325,10 @@ def ivf_topk(
     # every vector is assigned exactly ONE list and a query's n_probe
     # list ids (argsort prefix) are pairwise distinct, so each
     # (query, neighbor) pair can match at most one probe
-    v = vectors.select(
+    # same input-split parallelism guard as lsh_topk (guide §6)
+    from hermes_spark.functions.dedup import _spread
+
+    v = _spread(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         assign_list(F.col(vec_col)).alias("list_id"),
@@ -391,8 +400,11 @@ def cosine_neardup_pairs(
     of the input — a batch operator's driver action, not per-row)."""
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_occupancy)
+    # same input-split parallelism guard as lsh_topk (guide §6)
+    from hermes_spark.functions.dedup import _spread
+
     b = hyperplane_buckets(
-        df.select(
+        _spread(df).select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
         ),
         dim, n_planes, seed=seed, vec_col="_v",
