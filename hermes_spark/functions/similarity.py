@@ -293,9 +293,8 @@ def ivf_topk(
     closest lists only.  Unlike hyperplane LSH, the quantizer adapts to
     the data's actual geometry, so recall holds even on near-isotropic
     embeddings; candidates scanned ≈ n_probe/n_lists of the corpus.
-    Assignment is one numpy matmul per Arrow batch (pandas UDF); the
-    candidate join is keyed on list id — a uniform shuffle key."""
-    import pandas as pd
+    Assignment is one numpy matmul per Arrow batch; the probe
+    restriction is applied as a mask inside the same matmul."""
     from pyspark.sql import types as T
 
     sample = np.vstack(
@@ -307,41 +306,106 @@ def ivf_topk(
     cents = _kmeans_centroids(sample, n_lists, seed=seed)
     cents_n = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    @F.pandas_udf(T.IntegerType())
-    def assign_list(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents_n.T, axis=1).astype(np.int32))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ cents_n.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
-
-    # per-row norms, same rationale as lsh_topk; no dedup needed —
-    # every vector is assigned exactly ONE list and a query's n_probe
-    # list ids (argsort prefix) are pairwise distinct, so each
-    # (query, neighbor) pair can match at most one probe
-    # same input-split parallelism guard as lsh_topk (guide §6)
+    # Two-phase exact-within-candidates plan (same pattern and 20-deep
+    # margin argument as brute_force_topk, guide §4.2): the old shape
+    # scored every (probed-list vector × query) candidate with the
+    # interpreted 64-step fold — millions of folds once lists are
+    # dense.  Phase 1 scores each Arrow batch against the broadcast
+    # query matrix with ONE numpy matmul, masks pairs whose vector's
+    # list the query does not probe to -inf (list assignment and probe
+    # selection use the numerically identical float64 formulas the old
+    # per-row UDFs used, so the candidate SET is identical), and emits
+    # the batch-local top-m per query.  Phase 2 re-scores survivors
+    # with the SAME fold expressions and (cosine DESC, neighbor_id ASC)
+    # window the old plan used — identical output rows and doubles
+    # (pinned row-exact by test_round7_opts).
     from hermes_spark.functions.dedup import _spread
 
+    m_sel = k + 20
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("q")
+    )
     v = _spread(vectors).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        assign_list(F.col(vec_col)).alias("list_id"),
-    ).withColumn("_nv", _norm(F.col("v")))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).cast("array<double>").alias("q"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("_nq"),
-        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
+    qrows = q.collect()
+    qid_arr = np.asarray([r[0] for r in qrows])
+    qmat = (
+        np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        if qrows
+        else np.zeros((0, dim))
+    )
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qn_unit = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+    )
+    # per-query probed lists — same argsort-prefix formula as the old
+    # probe_lists UDF; boolean (nq, n_lists) membership mask
+    probe_mask = np.zeros((len(qid_arr), n_lists), dtype=bool)
+    if len(qid_arr):
+        top = np.argsort(-(qn_unit @ cents_n.T), axis=1)[:, :n_probe]
+        probe_mask[np.arange(len(qid_arr))[:, None], top] = True
+    sc = vectors.sparkSession.sparkContext
+    bq = sc.broadcast((qid_arr, qmat, qnorm, probe_mask))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, q.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", v.schema["neighbor_id"].dataType),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    def select_candidates(batches):
+        qids, qm, qn, pmask = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            vn = np.linalg.norm(mat, axis=1)
+            vid = pdf["neighbor_id"].to_numpy()
+            # list assignment, identical math to the old assign_list UDF
+            mn = mat / np.maximum(vn[:, None], 1e-12)
+            al = np.argmax(mn @ cents_n.T, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ qm.T) / np.outer(vn, qn)
+            sims[np.isnan(sims)] = np.inf    # Spark sorts NaN first on DESC
+            sims[~pmask[:, al].T] = -np.inf  # non-probed (query, list) pairs
+            sims[vid[:, None] == qids[None, :]] = -np.inf  # self-match
+            m = min(m_sel, n)
+            idx = np.argpartition(-sims, m - 1, axis=0)[:m]
+            scores = np.take_along_axis(sims, idx, axis=0)
+            qcol = np.repeat(qids, m)
+            ncol = vid[idx.T.ravel()]
+            scol = scores.T.ravel()
+            keep = scol != -np.inf
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    query_id_col: qcol[keep],
+                    "neighbor_id": ncol[keep],
+                    "approx": scol[keep],
+                }
+            )
+
+    stage1 = v.mapInPandas(select_candidates, out_schema)
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        stage1.withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") <= m_sel)
+        .select(query_id_col, "neighbor_id")
+    )
+    qn_df = q.withColumn("_nq", _norm(F.col("q")))
+    vn_df = v.withColumn("_nv", _norm(F.col("v")))
     scored = (
-        v.join(F.broadcast(q), ["list_id"])
-        .where(F.col("neighbor_id") != F.col(query_id_col))
+        vn_df.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qn_df), query_id_col)
         .withColumn(
             "cosine",
             _dot(F.col("q"), F.col("v")) / (F.col("_nq") * F.col("_nv")),

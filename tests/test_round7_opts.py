@@ -178,6 +178,80 @@ def test_simhash_near_pairs_id_offset_pushdown_row_exact(spark, docs):
         assert fast.columns == slow.columns, f"width={width}"
 
 
+def test_ivf_topk_two_phase_matches_naive_probed_join(spark, emb):
+    """ivf_topk's two-phase (masked matmul preselect + exact re-rank)
+    must equal the old shape: per-row UDF list assignment, probed-list
+    broadcast join, fold scoring, window top-k — including doubles."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hermes_spark.functions.similarity import (
+        _dot,
+        _kmeans_centroids,
+        _norm,
+        ivf_topk,
+    )
+
+    n_lists, n_probe, k = 4, 2, 3
+    queries = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    import numpy as np
+
+    sample = np.vstack(
+        [np.asarray(r[0], dtype=np.float64)
+         for r in emb.select("embedding").limit(4096).collect()]
+    )
+    cents = _kmeans_centroids(sample, n_lists, seed=42)
+    cents_n = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_list(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents_n.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents_n.T
+        return pd.Series(list(np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)))
+
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        assign_list(F.col("embedding")).alias("list_id"),
+    ).withColumn("_nv", _norm(F.col("v")))
+    q = queries.select(
+        "query_id",
+        F.col("embedding").cast("array<double>").alias("q"),
+        _norm(F.col("embedding").cast("array<double>")).alias("_nq"),
+        F.explode(probe_lists(F.col("embedding"))).alias("list_id"),
+    )
+    scored = (
+        v.join(F.broadcast(q), ["list_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q"), F.col("v")) / (F.col("_nq") * F.col("_nv")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    old = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    new = ivf_topk(emb, queries, dim=64, k=k, n_lists=n_lists,
+                   n_probe=n_probe)
+    assert _rows(new) == _rows(old)
+
+
 def test_q_simhash_verdict_assembly_row_exact(spark, sf_dir):
     """The full-outer sym-diff assembly in q_simhash must produce the
     IDENTICAL output row to the old two-anti-join + per-leg-aggregate
